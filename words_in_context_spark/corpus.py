@@ -1,0 +1,174 @@
+"""Deterministic synthetic Common-Crawl-style web-page corpus.
+
+Generates the engine's primary input table per BASELINE.json ``input_hint``:
+
+    (url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+
+Pages are SRT-structured subtitle documents (the reference's document format,
+/root/reference/extract_words.py:104-163) rendered into HTML-tagged bytes, so
+the extract UDTF's full semantics — cue numbering, timestamp gating, tag
+stripping, bracket sound-descriptions, NameCase names, German apostrophe
+contractions, hyphenated compounds — are all exercised by construction.
+
+Everything is seeded; same (seed, n_docs) → byte-identical corpus. No
+external data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+# A compact vocabulary; Zipf-ranked so head terms exist (skew-handling must
+# have something to handle). Names are NameCase-only by construction.
+_VOCAB = [
+    "the", "a", "to", "of", "and", "you", "it", "is", "in", "that",
+    "we", "he", "she", "was", "for", "on", "are", "with", "they", "be",
+    "have", "this", "from", "one", "had", "word", "but", "not", "what",
+    "all", "were", "when", "your", "can", "said", "there", "use", "an",
+    "each", "which", "do", "how", "their", "if", "will", "up", "other",
+    "about", "out", "many", "then", "them", "these", "so", "some", "her",
+    "would", "make", "like", "him", "into", "time", "has", "look", "two",
+    "more", "write", "go", "see", "number", "way", "could", "people",
+    "than", "first", "water", "been", "call", "who", "oil", "its", "now",
+    "find", "long", "down", "day", "did", "get", "come", "made", "may",
+    "part", "river", "stone", "light", "night", "ship", "storm", "garden",
+    "window", "silver", "shadow", "whisper", "thunder", "harvest", "lantern",
+    "meadow", "sparrow", "village", "winter", "summer", "crimson", "velvet",
+]
+_NAMES = ["George", "Mary", "Clarence", "Potter", "Zuzu", "Harry", "Violet",
+          "Sandy", "Denton", "Kincaid", "Faust", "Gretchen"]
+_SOUND_DESCS = ["[thunder rumbling]", "[door creaks]", "[whispers]",
+                "[music playing]", "[birds chirping]", "[gunshot]"]
+_DE_APOSTROPHES = ["heft'gen", "unharmon'sche", "nächt'gen", "ew'gen"]
+_HYPHENATED = ["well-lit", "moss-grown", "star-crossed", "wind-swept"]
+_LANGS = ["en", "en", "en", "en", "de", "es", "fr"]  # en-heavy like the web
+
+
+def _zipf_choice(rng: random.Random, vocab: list[str]) -> str:
+    # inverse-CDF Zipf(s≈1.1) over vocabulary ranks, cheap and deterministic
+    n = len(vocab)
+    u = rng.random()
+    idx = min(int(n ** u) - 1, n - 1)
+    return vocab[max(idx, 0)]
+
+
+def _render_cue_text(rng: random.Random, lang: str) -> str:
+    words = []
+    n_words = rng.randint(3, 12)
+    if rng.random() < 0.08:
+        words.append(rng.choice(_SOUND_DESCS))
+    if rng.random() < 0.15:
+        words.append(rng.choice(_NAMES))
+    for _ in range(n_words):
+        words.append(_zipf_choice(rng, _VOCAB))
+    if lang == "de" and rng.random() < 0.10:
+        words.append(rng.choice(_DE_APOSTROPHES))
+    if rng.random() < 0.07:
+        words.append(rng.choice(_HYPHENATED))
+    sent = " ".join(words)
+    if rng.random() < 0.3:
+        sent += "."
+    if rng.random() < 0.15:
+        sent = "- " + sent
+    if rng.random() < 0.2:
+        sent = "<i>" + sent + "</i>"
+    return sent
+
+
+def make_srt_text(rng: random.Random, lang: str, n_cues: int) -> str:
+    """Render one SRT document (cue number, timestamp, 1-2 text lines)."""
+    blocks = []
+    t = 0
+    for cue in range(1, n_cues + 1):
+        t2 = t + rng.randint(1500, 4000)
+
+        def _ts(ms: int) -> str:
+            s, ms_ = divmod(ms, 1000)
+            m, s = divmod(s, 60)
+            h, m = divmod(m, 60)
+            return f"{h:02d}:{m:02d}:{s:02d},{ms_:03d}"
+
+        text = _render_cue_text(rng, lang)
+        if rng.random() < 0.25:  # multi-line cue
+            text += "\n" + _render_cue_text(rng, lang)
+        blocks.append(f"{cue}\n{_ts(t)} --> {_ts(t2)}\n{text}\n")
+        t = t2 + rng.randint(50, 500)
+    return "\n".join(blocks)
+
+
+def generate_pages(
+    n_docs: int, seed: int = 42, min_cues: int = 20, max_cues: int = 80
+) -> list[dict]:
+    """Generate ``n_docs`` web-page rows (plain dicts, input_hint schema)."""
+    rows = []
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for i in range(n_docs):
+        rng = random.Random((seed << 20) ^ i)  # per-doc stream: order-free
+        lang = rng.choice(_LANGS)
+        srt = make_srt_text(rng, lang, rng.randint(min_cues, max_cues))
+        url = f"https://corpus.example/{lang}/doc-{i:08d}.srt"
+        html = (
+            "<!DOCTYPE html><html><head><title>doc-"
+            + str(i)
+            + '</title></head><body><pre class="srt">'
+            + srt
+            + "</pre></body></html>"
+        ).encode("utf-8")
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": epoch + dt.timedelta(seconds=i * 37),
+                "html": html,
+                "text": srt,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Materialize the corpus as a Spark DataFrame.
+
+    For large n_docs the generation itself is distributed: we parallelize the
+    doc-id range and generate rows inside mapPartitions on executors (each doc
+    has an independent seeded RNG stream, so generation is order-free and
+    embarrassingly parallel — this is how the corpus would be synthesized at
+    10^12-doc scale too).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(ids):
+        epoch = dt.datetime(2024, 1, 1)
+        for i in ids:
+            rng = random.Random((seed << 20) ^ i)
+            lang = rng.choice(_LANGS)
+            srt = make_srt_text(rng, lang, rng.randint(20, 80))
+            html = (
+                "<!DOCTYPE html><html><head><title>doc-"
+                + str(i)
+                + '</title></head><body><pre class="srt">'
+                + srt
+                + "</pre></body></html>"
+            ).encode("utf-8")
+            yield (
+                f"https://corpus.example/{lang}/doc-{i:08d}.srt",
+                epoch + dt.timedelta(seconds=i * 37),
+                html,
+                srt,
+                lang,
+            )
+
+    rdd = spark.sparkContext.parallelize(range(n_docs), n_parts).mapPartitions(gen)
+    return spark.createDataFrame(rdd, schema)

@@ -1,0 +1,455 @@
+"""Driver-contract query battery: Spark callables + matching DuckDB oracles.
+
+Each entry here evidences one or more rows of the SURVEY.md §2 operator
+inventory over the driver's parquet tables at ``sf_dir``. Conventions that
+keep the driver's hash-compare deterministic across engines:
+
+  * every computed column is aliased identically in Spark and SQL;
+  * ranking keys are ``round(score, 6)`` before ordering, with a discrete
+    final tie-break (term/id asc) — double-precision ulp differences between
+    JVM and DuckDB math can therefore never flip a rank;
+  * compared float columns are rounded (sums to 2dp, scores to 4dp);
+  * timestamps are compared as formatted UTC strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Tokenization pattern shared verbatim by Spark and the DuckDB oracle (the
+# documents table is ASCII). The engine's full Unicode tokenizer lives in
+# operators/extract.py; this is the SQL-expressible fast path (P7-P9).
+TOKEN_SPLIT = "[^a-z]+"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# fixed query for the BM25 retrieval entry (terms present in the testdata docs)
+BM25_QUERY_TERMS = ["table", "query", "spark"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT)
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).where(F.col("term") != "")
+
+
+_TOKS_SQL = f"""
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}')) AS term
+  FROM documents
+"""
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+_TF_SQL = f"""
+  WITH toks AS ({_TOKS_SQL})
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-text engine queries (SURVEY §2.3, §2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_term_tf(spark, sf_dir):
+    """A1/A3: term frequency per (doc, term)."""
+    return _tf(spark, sf_dir)
+
+
+def q_doc_len(spark, sf_dir):
+    """A4: document length (token occurrences per doc)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("doc_len"))
+    )
+
+
+def q_term_df(spark, sf_dir):
+    """A6: document frequency per term — re-agg of the (smaller) tf set,
+    never a second pass over raw tokens."""
+    return _tf(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Flagship (M1): per-document TF-IDF top-10 terms, reference scoring
+    ``tf/doc_len * ln(N/df)`` (extract_words.py:418-428) with pinned
+    tie-break. Broadcast join for the term-df dimension (J1)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = _tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "term", "tf", "doc_len", "df", "score", "rank")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """M3 scorer (brute-force path): BM25 retrieval of the top-20 documents
+    for a fixed 3-term query; idf = ln(1+(N-df+0.5)/(df+0.5))."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = _tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    avgdl = dl.agg(F.avg("doc_len")).collect()[0][0]
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string"
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            * (BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("part"), 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+def q_postings(spark, sf_dir):
+    """A1 posting lists, serialized deterministically: per term, the ordered
+    ``doc:tf`` run — the logical content of an index segment (J2-joinable)."""
+    tf = _tf(spark, sf_dir)
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.tf.cast("string")),
+            ),
+        ).alias("postings"),
+    )
+
+
+def q_top_tf_terms(spark, sf_dir):
+    """Q4/Q5 on discrete keys: top-5 terms per doc by raw tf (ties by term)."""
+    tf = _tf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator inventory over the TPC-H-ish tables (SURVEY §2.2/4/5/7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style wide aggregate (A3-A5 analog): filters + 6 aggs."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J1 analog: fact ⋈ broadcast dims (customer→nation), grouped revenue."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """J3: left-anti join — the checkpoint/resume idiom
+    (extract_words.py:372-376). Right side pre-filtered to high-value orders
+    so the anti-join is non-vacuous at every sf."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_customers_with_open_orders(spark, sf_dir):
+    """Semi join (EXISTS)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Q5 window top-k on discrete tie-break."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.round("o_totalprice", 2)), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """ST analog, batch form: tumbling 1-hour event-time aggregation (the
+    streaming path runs the same agg with a watermark — streaming/)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    """P10/S3 analog: language histogram of the documents table."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_term_tf": q_doc_term_tf,
+    "doc_len": q_doc_len,
+    "term_df": q_term_df,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
+    "postings": q_postings,
+    "top_tf_terms": q_top_tf_terms,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_open_orders": q_customers_with_open_orders,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_hourly": q_events_hourly,
+    "lang_distribution": q_lang_distribution,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_term_tf": _TF_SQL,
+    "doc_len": f"""
+        WITH toks AS ({_TOKS_SQL})
+        SELECT doc_id, count(*) AS doc_len FROM toks WHERE term <> ''
+        GROUP BY doc_id
+    """,
+    "term_df": f"""
+        WITH tf AS ({_TF_SQL})
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    """,
+    "tfidf_topk": f"""
+        WITH tf AS ({_TF_SQL}),
+        dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len, dfq.df,
+                 round((tf.tf / CAST(dl.doc_len AS DOUBLE))
+                       * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS score
+          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, doc_len, df, score, rank
+        FROM ranked WHERE rank <= 10
+    """,
+    "bm25_topk": f"""
+        WITH tf AS ({_TF_SQL}),
+        dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        stats AS (SELECT avg(doc_len) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len / stats.avgdl))
+                 AS part
+          FROM tf JOIN q USING (term) JOIN dfq USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN stats
+        ),
+        scores AS (
+          SELECT doc_id, round(sum(part), 6) AS score FROM contrib GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scores
+        )
+        SELECT doc_id, round(score, 4) AS score, rank FROM ranked WHERE rank <= 20
+    """,
+    "postings": f"""
+        WITH tf AS ({_TF_SQL})
+        SELECT term, count(*) AS df,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        FROM tf GROUP BY term
+    """,
+    "top_tf_terms": f"""
+        WITH tf AS ({_TF_SQL}),
+        ranked AS (
+          SELECT doc_id, term, tf, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank
+          FROM tf
+        )
+        SELECT doc_id, term, tf, rank FROM ranked WHERE rank <= 5
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)
+    """,
+    "customers_with_open_orders": """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    "top_orders_per_customer": """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, totalprice, rn FROM ranked WHERE rn <= 3
+    """,
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "lang_distribution": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+}

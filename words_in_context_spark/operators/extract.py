@@ -1,0 +1,103 @@
+"""Extract + tokenize UDTF — docs(url, text|html, lang) → token rows.
+
+The reference's ``analyze_file`` (/root/reference/extract_words.py:191-304)
+is a stateful, order-dependent scan over one document's tokens; the bracket
+state machine and sentence-position counter cannot be expressed per-token in
+SQL. So this stage is one ``mapInPandas`` (Arrow-batched) operator that is
+**vectorized across documents and sequential within one** — each input row is
+a whole document, each output row one token occurrence. All parsing logic
+lives in ``textparse`` (pure Python, unit-tested standalone), so the UDF is a
+thin Arrow adapter with no semantics of its own.
+
+Scale notes:
+  * The UDF is a narrow map — no shuffle; parallelism == input partitions.
+    At 100 TB the input table is read in splits by the parquet/Iceberg
+    source; each split tokenizes independently.
+  * Column pruning matters: callers select only (url, text, lang) so the
+    wide ``html`` binary column never crosses Arrow unless text is absent.
+  * Output batches are capped (BATCH_OUT rows) to bound Arrow record-batch
+    memory regardless of document size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..textparse import extract_lines, tokenize_lines
+
+TOKENS_SCHEMA = (
+    "url string, tok_idx int, line_id int, pos int, term string, "
+    "is_namecase boolean, in_sound_desc boolean"
+)
+
+LINES_SCHEMA = "url string, line_id int, line string"
+
+_BATCH_OUT = 200_000
+
+
+def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "tok_idx", "line_id", "pos", "term", "is_namecase", "in_sound_desc"]
+    buf: list[tuple] = []
+    for pdf in it:
+        has_text = "text" in pdf.columns
+        for row in pdf.itertuples(index=False):
+            text = getattr(row, "text", None) if has_text else None
+            if text is None and hasattr(row, "html") and row.html is not None:
+                text = bytes(row.html).decode("utf-8", errors="ignore")
+            if not text:
+                continue
+            lang = getattr(row, "lang", None) or "en"
+            doc = tokenize_lines(extract_lines(text), lang=lang)
+            buf.extend(
+                (row.url, i, t.line_id, t.pos, t.term, t.is_namecase, t.in_sound_desc)
+                for i, t in enumerate(doc.tokens)
+            )
+            if len(buf) >= _BATCH_OUT:
+                yield pd.DataFrame(buf, columns=cols)
+                buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
+def tokenize(docs: DataFrame) -> DataFrame:
+    """docs(url, text[, lang]) → tokens(url, line_id, pos, term,
+    is_namecase, in_sound_desc). Narrow map, no shuffle."""
+    cols = [c for c in ("url", "text", "lang", "html") if c in docs.columns]
+    return docs.select(*cols).mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+
+
+def _lines_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = []
+        for row in pdf.itertuples(index=False):
+            text = row.text
+            if text is None and hasattr(row, "html") and row.html is not None:
+                text = bytes(row.html).decode("utf-8", errors="ignore")
+            if not text:
+                continue
+            for i, line in enumerate(extract_lines(text)):
+                out.append((row.url, i, line))
+        yield pd.DataFrame(out, columns=["url", "line_id", "line"])
+
+
+def extract_lines_df(docs: DataFrame) -> DataFrame:
+    """docs(url, text) → lines(url, line_id, line) — the J2 snippet side.
+    line_id == SRT cue number (positional-list invariant)."""
+    cols = [c for c in ("url", "text", "html") if c in docs.columns]
+    return docs.select(*cols).mapInPandas(_lines_batches, schema=LINES_SCHEMA)
+
+
+def tokenize_simple(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SQL-expressible tokenizer for plain-text tables: lowercase, split on
+    non-letter runs, posexplode. Stays entirely JVM-side (whole-stage
+    codegen) — this is the fast path used on the ``documents`` test table and
+    by the DuckDB oracle comparison. Returns (id_col, pos, term)."""
+    toks = F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")
+    return (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+        .where(F.col("term") != "")
+    )

@@ -1,0 +1,50 @@
+"""SparkSession builders tuned for local[N] testing of a cluster-scale job.
+
+All knobs here are also the right defaults for a real multi-executor cluster:
+AQE on (runtime coalescing + skew-join splitting), Arrow on (every Python
+surface in this engine is a pandas/Arrow UDF), UTC session timezone (pinned so
+the DuckDB oracle comparison is stable), shuffle partitions sized to
+parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "words_in_context_spark",
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession on ``local[cores]``.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. ``shuffle_partitions``
+    defaults to the core count — at cluster scale this becomes
+    executors×cores (or AQE-coalesced from a higher initial number).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
