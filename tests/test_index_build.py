@@ -1,0 +1,166 @@
+"""End-to-end inverted index: build → segments/manifest → WAND query → resume.
+
+Covers SURVEY §7 M2/M3: posting encode+merge with range salting, per-bucket
+manifest commits, kill-and-resume convergence, and BM25 retrieval parity
+between the distributed WAND path, the driver-local WAND path, the
+decode-everything brute-force path, and the pure-Python corpus oracle."""
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from words_in_context_spark.corpus import generate_pages
+from words_in_context_spark.index import manifest as mf
+from words_in_context_spark.index.build import build_index
+from words_in_context_spark.index.query import (
+    brute_force_query_local,
+    load_index,
+    query_topk,
+    query_topk_local,
+)
+from words_in_context_spark.pyoracle import CorpusOracle
+
+N_DOCS = 30
+SEED = 777
+N_BUCKETS = 8
+QUERY = ["storm", "window", "the", "whisper"]
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return generate_pages(N_DOCS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, pages):
+    return spark.createDataFrame(
+        [(p["url"], p["text"], p["lang"]) for p in pages],
+        "url string, text string, lang string",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, docs_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index") / "idx")
+    res = build_index(spark, docs_df, d, n_buckets=N_BUCKETS, n_salts=4)
+    assert res.n_docs == N_DOCS
+    return d
+
+
+def test_manifest_and_stats(index_dir):
+    done = mf.completed_buckets(index_dir)
+    assert sorted(done) == list(range(N_BUCKETS))
+    total_terms = sum(m["n_terms"] for m in done.values())
+    total_postings = sum(m["n_postings"] for m in done.values())
+    assert total_terms > 50 and total_postings > total_terms
+    stats = mf.read_stats(index_dir)
+    assert stats["n_docs"] == N_DOCS and stats["avgdl"] > 0
+
+
+def test_segments_match_token_groundtruth(spark, index_dir, pages):
+    """Decoded postings == tf computed directly from the tokenizer."""
+    from words_in_context_spark.index.query import _row_to_encoded
+    from words_in_context_spark.operators.codec import decode_postings
+    from words_in_context_spark.textparse import extract_and_tokenize
+
+    # ground truth tf per (url, term) from the pure-Python tokenizer
+    tf_truth: dict[str, dict[str, int]] = {}
+    for p in pages:
+        doc = extract_and_tokenize(p["text"], lang=p["lang"])
+        for t in doc.tokens:
+            tf_truth.setdefault(t.term, {}).setdefault(p["url"], 0)
+            tf_truth[t.term][p["url"]] += 1
+
+    doc_map = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(os.path.join(index_dir, "doc_map")).collect()
+    }
+    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    for term in ["the", "storm", "whisper", "heft'gen"]:
+        rows = seg.where(F.col("term") == term).collect()
+        if term not in tf_truth:
+            assert not rows
+            continue
+        assert len(rows) == 1
+        enc = _row_to_encoded(rows[0].asDict())
+        ids, tfs, dls = decode_postings(enc)
+        expected = sorted(
+            (doc_map[url], tf) for url, tf in tf_truth[term].items()
+        )
+        assert [(int(i), int(t)) for i, t in zip(ids, tfs)] == expected
+        assert enc.df == len(expected)
+
+
+def test_query_paths_agree(spark, index_dir):
+    h = load_index(index_dir)
+    local = query_topk_local(spark, h, QUERY, k=10)
+    brute = brute_force_query_local(spark, h, QUERY, k=10)
+    assert local == brute  # bit-identical scores
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in query_topk(spark, h, QUERY, k=10).orderBy("rank").collect()
+    ]
+    assert dist == local
+
+
+def test_query_matches_pyoracle(spark, index_dir, pages):
+    h = load_index(index_dir)
+    orc = CorpusOracle()
+    for p in pages:
+        orc.add(p["url"], p["text"], lang=p["lang"])
+    expected = orc.bm25_query(QUERY)[:10]
+    doc_map = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "doc_map")).collect()
+    }
+    got = query_topk_local(spark, h, QUERY, k=10)
+    got_urls = [(doc_map[d], s) for d, s in got]
+    # same ranking (oracle ties break by url, engine by doc_id hash — compare
+    # score-sorted multisets rank by rank where scores are distinct)
+    assert len(got_urls) == len(expected)
+    for (gu, gs), (eu, es) in zip(got_urls, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9), (gu, eu, gs, es)
+    # where scores are distinct, the urls must agree
+    for i, ((gu, gs), (eu, es)) in enumerate(zip(got_urls, expected)):
+        distinct = all(
+            not math.isclose(es, other, rel_tol=1e-12)
+            for j, (_, other) in enumerate(expected)
+            if j != i
+        )
+        if distinct:
+            assert gu == eu, f"rank {i}: {gu} != {eu}"
+
+
+def test_resume_converges(spark, docs_df, index_dir, tmp_path_factory):
+    """Simulated mid-build crash: drop half the manifest commits and their
+    segment partitions → re-run → byte-identical index."""
+    crashed = str(tmp_path_factory.mktemp("resume") / "idx")
+    shutil.copytree(index_dir, crashed)
+    for b in range(0, N_BUCKETS, 2):
+        os.remove(mf.bucket_path(crashed, b))
+        part = os.path.join(crashed, "segments", f"bucket={b}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+    assert sorted(mf.completed_buckets(crashed)) == list(range(1, N_BUCKETS, 2))
+
+    res = build_index(spark, docs_df, crashed, n_buckets=N_BUCKETS, n_salts=4)
+    assert sorted(res.built_buckets) == list(range(0, N_BUCKETS, 2))
+    assert sorted(res.skipped_buckets) == list(range(1, N_BUCKETS, 2))
+    assert sorted(mf.completed_buckets(crashed)) == list(range(N_BUCKETS))
+
+    cols = ["term", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(index_dir, "segments")
+        ).select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(crashed, "segments")
+        ).select(*cols).collect()
+    )
+    assert a == b

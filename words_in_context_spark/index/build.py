@@ -1,0 +1,289 @@
+"""Distributed inverted-index build: term-bucketed segments of compressed
+postings, with explicit head-term skew handling and resumable per-bucket
+commits.
+
+Pipeline (generalizes /root/reference/extract_words.py:332-387 ``process_dir``):
+
+  docs(url, text, lang)
+    │ mapInPandas extract+tokenize (narrow, no shuffle)
+  tokens(url, tok_idx, line_id, pos, term, ...)
+    │ groupBy(url, term) — SHUFFLE 1 (partial agg map-side)
+  tf(url, term, tf)
+    │ + doc_map(url → doc_id=xxhash64(url), doc_len) — re-agg of tf
+    │ groupBy(term, range_salt(doc_id)) — SHUFFLE 2, applyInPandas
+  runs(term, salt, encoded run)           ← head-term skew bounded by salt
+    │ groupBy(term) — SHUFFLE 3 of COMPRESSED bytes, applyInPandas
+  segments(term, bucket, df, cf, doc_bytes, tf_bytes, blocks...)
+    │ write partitionBy(bucket), dynamic partition overwrite
+  manifest: one JSON commit per bucket (index/manifest.py)
+
+Skew design (north_rule "explicit salting for head terms"): the salt is a
+doc_id RANGE (top bits of the uniform xxhash64 doc id), not a hash — so the
+per-salt runs of one term are disjoint, ordered ranges. The merge stage
+therefore concatenates encoded runs WITHOUT decoding: block-local deltas make
+every block self-contained; only block byte-offsets are rebased. A "the"-type
+term at web scale costs S bounded encode tasks + one cheap byte-concat task.
+
+doc_id = xxhash64(url): deterministic, shuffle-free assignment. (At 10^12
+docs, expect ~3e4 birthday collisions across 2^64 — acceptable for ranking;
+a dense-id mode would add a sort. Collisions merge two urls' stats.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.codec import EncodedPostings, encode_postings
+from ..operators.extract import tokenize
+from . import manifest as mf
+
+SEGMENT_SCHEMA = (
+    "term string, bucket int, df long, cf long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "first_doc array<long>, last_doc array<long>, n array<int>, "
+    "doc_off array<long>, tf_off array<long>, dl_off array<long>, "
+    "max_impact array<float>, max_impact_all float"
+)
+
+_RUN_SCHEMA = (
+    "term string, salt int, df long, cf long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "first_doc array<long>, last_doc array<long>, n array<int>, "
+    "doc_off array<long>, tf_off array<long>, dl_off array<long>, "
+    "max_impact array<float>"
+)
+
+
+def range_salt(doc_id_col, n_salts: int):
+    """Range-based salt over the full signed-int64 doc-id space: arithmetic
+    shift of the top bits plus an offset, so salt order == SIGNED doc-id
+    order (the merge stage concatenates runs by salt and relies on this).
+    Requires n_salts a power of two."""
+    bits = int(n_salts).bit_length() - 1
+    assert (1 << bits) == n_salts, "n_salts must be a power of two"
+    return (
+        F.shiftright(doc_id_col.cast("long"), 64 - bits) + (n_salts // 2)
+    ).cast("int")
+
+
+def _encode_run(avgdl: float):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="mergesort")
+        ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["doc_len"].to_numpy()[order]
+        enc = encode_postings(ids, tfs, dls, avgdl)
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "salt": salt,
+                    "df": enc.df,
+                    "cf": enc.cf,
+                    "doc_bytes": enc.doc_bytes,
+                    "tf_bytes": enc.tf_bytes,
+                    "dl_bytes": enc.dl_bytes,
+                    "first_doc": enc.first_doc.tolist(),
+                    "last_doc": enc.last_doc.tolist(),
+                    "n": enc.n.tolist(),
+                    "doc_off": enc.doc_off.tolist(),
+                    "tf_off": enc.tf_off.tolist(),
+                    "dl_off": enc.dl_off.tolist(),
+                    "max_impact": enc.max_impact.tolist(),
+                }
+            ]
+        )
+
+    return fn
+
+
+def _merge_runs(n_buckets: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        pdf = pdf.sort_values("salt")  # ranges are disjoint & ordered by salt
+        doc_bytes = b"".join(pdf["doc_bytes"])
+        tf_bytes = b"".join(pdf["tf_bytes"])
+        dl_bytes = b"".join(pdf["dl_bytes"])
+        first_doc, last_doc, n = [], [], []
+        doc_off, tf_off, dl_off, maxi = [], [], [], []
+        dbase = tbase = lbase = 0
+        for row in pdf.itertuples(index=False):
+            first_doc.extend(row.first_doc)
+            last_doc.extend(row.last_doc)
+            n.extend(row.n)
+            doc_off.extend(int(o) + dbase for o in row.doc_off)
+            tf_off.extend(int(o) + tbase for o in row.tf_off)
+            dl_off.extend(int(o) + lbase for o in row.dl_off)
+            maxi.extend(row.max_impact)
+            dbase += len(row.doc_bytes)
+            tbase += len(row.tf_bytes)
+            lbase += len(row.dl_bytes)
+        # stable bucket assignment: same function as the Spark-side bucketing
+        bucket = _py_bucket(term, n_buckets)
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "bucket": bucket,
+                    "df": int(pdf["df"].sum()),
+                    "cf": int(pdf["cf"].sum()),
+                    "doc_bytes": doc_bytes,
+                    "tf_bytes": tf_bytes,
+                    "dl_bytes": dl_bytes,
+                    "first_doc": first_doc,
+                    "last_doc": last_doc,
+                    "n": n,
+                    "doc_off": doc_off,
+                    "tf_off": tf_off,
+                    "dl_off": dl_off,
+                    "max_impact": maxi,
+                    "max_impact_all": float(max(maxi)),
+                }
+            ]
+        )
+
+    return fn
+
+
+def _py_bucket(term: str, n_buckets: int) -> int:
+    """Python twin of the bucket expression — crc32-based so both sides agree
+    without a JVM call."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def bucket_expr(term_col, n_buckets: int):
+    return (F.crc32(term_col.cast("binary")) % n_buckets).cast("int")
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    built_buckets: list[int]
+    skipped_buckets: list[int]
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    overwrite: bool = False,
+    tokens: DataFrame | None = None,
+) -> BuildResult:
+    """Build (or resume) the inverted index for ``docs`` at ``index_dir``.
+
+    Resume semantics: buckets already committed in the manifest are not
+    rebuilt (left-anti against the manifest, ST1); doc stats are rebuilt only
+    when absent. Kill-and-rerun converges to the identical index
+    (tested in tests/test_index_build.py).
+    """
+    if overwrite:
+        mf.clear(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    doc_map_path = os.path.join(index_dir, "doc_map")
+    if tokens is None:
+        tokens = tokenize(docs)
+
+    # ---- doc stats (A4/A7): built once, reused on resume -------------------
+    if not _exists(doc_map_path):
+        tf_all = tokens.groupBy("url", "term").agg(F.count("*").alias("tf"))
+        doc_map = (
+            tf_all.groupBy("url")
+            .agg(F.sum("tf").alias("doc_len"))
+            .withColumn("doc_id", F.xxhash64(F.col("url")))
+            .select("doc_id", "url", "doc_len")
+        )
+        doc_map.write.mode("overwrite").parquet(doc_map_path)
+
+    doc_map = spark.read.parquet(doc_map_path)
+    n_docs, avgdl = doc_map.agg(
+        F.count("*"), F.avg("doc_len")
+    ).collect()[0]
+    avgdl = float(avgdl)
+
+    done = set(mf.completed_buckets(index_dir))
+    todo = [b for b in range(n_buckets) if b not in done]
+    if todo:
+        tf_all = tokens.groupBy("url", "term").agg(F.count("*").alias("tf"))
+        postings_in = (
+            tf_all.join(doc_map, "url")
+            .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
+            .where(F.col("bucket").isin(todo))  # resume: only missing buckets
+            .select("term", "bucket", "doc_id", "tf", "doc_len")
+        )
+        runs = (
+            postings_in.withColumn("salt", range_salt(F.col("doc_id"), n_salts))
+            .groupBy("term", "salt")
+            .applyInPandas(_encode_run(avgdl), schema=_RUN_SCHEMA)
+        )
+        segments = runs.groupBy("term").applyInPandas(
+            _merge_runs(n_buckets), schema=SEGMENT_SCHEMA
+        )
+        (
+            segments.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, "segments"))
+        )
+        # ---- per-bucket manifest commit (metrics from the written files) ---
+        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        metrics = {
+            int(r["bucket"]): r
+            for r in seg.where(F.col("bucket").isin(todo))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+            )
+            .collect()
+        }
+        for b in todo:
+            m = metrics.get(b)
+            mf.commit_bucket(
+                index_dir,
+                b,
+                {
+                    "n_terms": int(m["n_terms"]) if m else 0,
+                    "n_postings": int(m["n_postings"]) if m else 0,
+                    "bytes": int(m["bytes"]) if m else 0,
+                    "lineage": {
+                        "n_docs": int(n_docs),
+                        "n_salts": n_salts,
+                        "tokenizer": "wics-v1",
+                    },
+                },
+            )
+
+    mf.write_stats(
+        index_dir,
+        {
+            "n_docs": int(n_docs),
+            "avgdl": avgdl,
+            "n_buckets": n_buckets,
+            "n_salts": n_salts,
+            "built_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "tokenizer": "wics-v1",
+        },
+    )
+    return BuildResult(index_dir, int(n_docs), avgdl, todo, sorted(done))
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))

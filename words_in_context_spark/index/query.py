@@ -1,0 +1,269 @@
+"""Query engine over the built index: BM25 top-k via block-max WAND.
+
+Two execution paths sharing one kernel (operators/topk.py):
+
+* ``query_topk`` — distributed: segment rows for the query terms are read
+  with bucket+term pushdown (partition-pruned scan), sliced per doc-id range
+  along BLOCK boundaries (zero decode — the build's range-salted layout means
+  every term's blocks are already range-ordered), then each range runs WAND
+  independently inside ``applyInPandas`` and the global top-k is the merge of
+  per-range top-ks (correct because a doc's entire score lives in one range).
+  This is the 1000-executor path: ranges scale with n_salts.
+
+* ``query_topk_local`` — driver-side: for interactive/p50-latency use; same
+  kernel, lists fetched via the pruned scan and collected (query terms are
+  few; postings stay compressed until the kernel skips through them).
+
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)); N, avgdl from stats.json.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.codec import EncodedPostings
+from ..operators.topk import brute_force_topk, wand_topk
+from . import manifest as mf
+from .build import _py_bucket
+
+
+@dataclass
+class IndexHandle:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    n_buckets: int
+    n_salts: int
+
+    @property
+    def segments_path(self) -> str:
+        return os.path.join(self.index_dir, "segments")
+
+    @property
+    def doc_map_path(self) -> str:
+        return os.path.join(self.index_dir, "doc_map")
+
+
+def load_index(index_dir: str) -> IndexHandle:
+    stats = mf.read_stats(index_dir)
+    return IndexHandle(
+        index_dir=index_dir,
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+        n_buckets=int(stats["n_buckets"]),
+        n_salts=int(stats["n_salts"]),
+    )
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _segment_rows(spark: SparkSession, h: IndexHandle, terms: list[str]) -> DataFrame:
+    buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
+    return (
+        spark.read.parquet(h.segments_path)
+        # bucket is the partition column → directory pruning; term is a
+        # parquet min/max + dictionary pushdown on the sorted segment files
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+
+
+def _row_to_encoded(row) -> EncodedPostings:
+    return EncodedPostings(
+        df=int(row["df"]),
+        cf=int(row["cf"]),
+        doc_bytes=bytes(row["doc_bytes"]),
+        tf_bytes=bytes(row["tf_bytes"]),
+        dl_bytes=bytes(row["dl_bytes"]),
+        first_doc=np.asarray(row["first_doc"], dtype=np.int64),
+        last_doc=np.asarray(row["last_doc"], dtype=np.int64),
+        n=np.asarray(row["n"], dtype=np.int32),
+        doc_off=np.asarray(row["doc_off"], dtype=np.int64),
+        tf_off=np.asarray(row["tf_off"], dtype=np.int64),
+        dl_off=np.asarray(row["dl_off"], dtype=np.int64),
+        max_impact=np.asarray(row["max_impact"], dtype=np.float32),
+    )
+
+
+def _slice_encoded(enc: EncodedPostings, b0: int, b1: int) -> EncodedPostings:
+    """Blocks [b0, b1) as a standalone EncodedPostings — byte slicing only."""
+    d0 = int(enc.doc_off[b0])
+    t0 = int(enc.tf_off[b0])
+    l0 = int(enc.dl_off[b0])
+    d1 = int(enc.doc_off[b1]) if b1 < enc.first_doc.size else len(enc.doc_bytes)
+    t1 = int(enc.tf_off[b1]) if b1 < enc.first_doc.size else len(enc.tf_bytes)
+    l1 = int(enc.dl_off[b1]) if b1 < enc.first_doc.size else len(enc.dl_bytes)
+    n = enc.n[b0:b1]
+    return EncodedPostings(
+        df=int(n.sum()),
+        cf=0,  # not needed at query time
+        doc_bytes=enc.doc_bytes[d0:d1],
+        tf_bytes=enc.tf_bytes[t0:t1],
+        dl_bytes=enc.dl_bytes[l0:l1],
+        first_doc=enc.first_doc[b0:b1],
+        last_doc=enc.last_doc[b0:b1],
+        n=n,
+        doc_off=enc.doc_off[b0:b1] - d0,
+        tf_off=enc.tf_off[b0:b1] - t0,
+        dl_off=enc.dl_off[b0:b1] - l0,
+        max_impact=enc.max_impact[b0:b1],
+    )
+
+
+def _collect_lists(
+    spark: SparkSession, h: IndexHandle, terms: list[str]
+) -> list[tuple[EncodedPostings, float]]:
+    rows = {
+        r["term"]: r
+        for r in _segment_rows(spark, h, terms).toPandas().to_dict("records")
+    }
+    lists = []
+    for t in sorted(set(terms)):  # canonical term order
+        if t in rows:
+            enc = _row_to_encoded(rows[t])
+            lists.append((enc, idf(h.n_docs, enc.df)))
+    return lists
+
+
+def query_topk_local(
+    spark: SparkSession, h: IndexHandle, terms: list[str], k: int = 10
+) -> list[tuple[int, float]]:
+    """Driver-side WAND (low-latency path)."""
+    lists = _collect_lists(spark, h, terms)
+    return wand_topk(lists, k, h.avgdl)
+
+
+def query_topk(
+    spark: SparkSession, h: IndexHandle, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Distributed WAND: per doc-id range partial top-k, global merge.
+    Returns DataFrame (doc_id long, score double, rank int)."""
+    n_docs, avgdl, n_salts = h.n_docs, h.avgdl, h.n_salts
+    terms_sorted = sorted(set(terms))
+    seg = _segment_rows(spark, h, terms_sorted)
+
+    # range boundaries = the build's salt ranges (signed int64 space)
+    bits = n_salts.bit_length() - 1
+    lows = [((s - n_salts // 2) << (64 - bits)) for s in range(n_salts)]
+    bounds = lows[1:] + [1 << 63]
+
+    df_by_term = {
+        r["term"]: int(r["df"])
+        for r in seg.select("term", "df").collect()
+    }
+    idfs = {t: idf(n_docs, df_by_term[t]) for t in terms_sorted if t in df_by_term}
+    term_order = {t: i for i, t in enumerate(terms_sorted)}
+
+    def slice_ranges(it):
+        for pdf in it:
+            out = []
+            for rec in pdf.to_dict("records"):
+                enc = _row_to_encoded(rec)
+                # block index boundaries per salt range (first_doc sorted)
+                for s in range(n_salts):
+                    lo = lows[s]
+                    hi = bounds[s]
+                    b0 = int(np.searchsorted(enc.last_doc, lo, side="left"))
+                    b1 = int(np.searchsorted(enc.first_doc, hi, side="left"))
+                    if b0 >= b1:
+                        continue
+                    sl = _slice_encoded(enc, b0, b1)
+                    out.append(
+                        {
+                            "range_id": s,
+                            "term": rec["term"],
+                            "df_global": rec["df"],
+                            "doc_bytes": sl.doc_bytes,
+                            "tf_bytes": sl.tf_bytes,
+                            "dl_bytes": sl.dl_bytes,
+                            "first_doc": sl.first_doc.tolist(),
+                            "last_doc": sl.last_doc.tolist(),
+                            "n": sl.n.tolist(),
+                            "doc_off": sl.doc_off.tolist(),
+                            "tf_off": sl.tf_off.tolist(),
+                            "dl_off": sl.dl_off.tolist(),
+                            "max_impact": sl.max_impact.tolist(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "range_id", "term", "df_global", "doc_bytes", "tf_bytes",
+                    "dl_bytes", "first_doc", "last_doc", "n", "doc_off",
+                    "tf_off", "dl_off", "max_impact",
+                ],
+            )
+
+    slice_schema = (
+        "range_id int, term string, df_global long, "
+        "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+        "first_doc array<long>, last_doc array<long>, n array<int>, "
+        "doc_off array<long>, tf_off array<long>, dl_off array<long>, "
+        "max_impact array<float>"
+    )
+    slices = seg.mapInPandas(slice_ranges, schema=slice_schema)
+
+    def wand_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(
+            pdf.to_dict("records"), key=lambda r: term_order[r["term"]]
+        )
+        lists = []
+        for rec in recs:
+            enc = EncodedPostings(
+                df=int(sum(rec["n"])),
+                cf=0,
+                doc_bytes=bytes(rec["doc_bytes"]),
+                tf_bytes=bytes(rec["tf_bytes"]),
+                dl_bytes=bytes(rec["dl_bytes"]),
+                first_doc=np.asarray(rec["first_doc"], dtype=np.int64),
+                last_doc=np.asarray(rec["last_doc"], dtype=np.int64),
+                n=np.asarray(rec["n"], dtype=np.int32),
+                doc_off=np.asarray(rec["doc_off"], dtype=np.int64),
+                tf_off=np.asarray(rec["tf_off"], dtype=np.int64),
+                dl_off=np.asarray(rec["dl_off"], dtype=np.int64),
+                max_impact=np.asarray(rec["max_impact"], dtype=np.float32),
+            )
+            lists.append((enc, idfs[rec["term"]]))
+        top = wand_topk(lists, k, avgdl)
+        return pd.DataFrame(top, columns=["doc_id", "score"])
+
+    partial = slices.groupBy("range_id").applyInPandas(
+        wand_range, schema="doc_id long, score double"
+    )
+    w_ordered = partial.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return w_ordered.withColumn("rank", F.row_number().over(w))
+
+
+def snippet_lookup(
+    spark: SparkSession,
+    h: IndexHandle,
+    lines: DataFrame,
+    topk: DataFrame,
+) -> DataFrame:
+    """J2 (gui.py:757-766): join ranked doc ids back to their source lines via
+    the doc_map — the words-in-context example fetch."""
+    doc_map = spark.read.parquet(h.doc_map_path)
+    return (
+        topk.join(F.broadcast(doc_map), "doc_id")
+        .join(lines, "url")
+        .select("doc_id", "url", "rank", "score", "line_id", "line")
+    )
+
+
+def brute_force_query_local(
+    spark: SparkSession, h: IndexHandle, terms: list[str], k: int = 10
+) -> list[tuple[int, float]]:
+    """Oracle twin of query_topk_local (decode-everything scorer)."""
+    lists = _collect_lists(spark, h, terms)
+    return brute_force_topk(lists, k, h.avgdl)

@@ -32,6 +32,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
 
+    # Executor Python workers must be able to import this package regardless
+    # of the driver's cwd. Locally that's PYTHONPATH (inherited by the JVM,
+    # then by the python daemon); on a real cluster the equivalent is
+    # `spark-submit --py-files wics.zip` (see tools/make_pyfiles.py).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
