@@ -25,12 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from words_in_context_spark.driver_queries import QUERIES
+    from words_in_context_spark import driver_queries, driver_queries_pipeline
 
-    return dict(QUERIES)
+    return {**driver_queries.QUERIES, **driver_queries_pipeline.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    from words_in_context_spark.driver_queries import ORACLE_SQL
+    from words_in_context_spark import driver_queries, driver_queries_pipeline
 
-    return dict(ORACLE_SQL)
+    return {**driver_queries.ORACLE_SQL, **driver_queries_pipeline.ORACLE_SQL}

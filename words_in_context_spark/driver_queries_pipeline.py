@@ -1,0 +1,453 @@
+"""Driver-contract battery #2: training-data pipeline operators.
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force cosine + LSH ANN), text analysis (lang-id, quality, token
+counts, fingerprints), multimodal metadata, sessionization.
+
+The documents table has no natural duplicates, so dedup queries run over
+``documents ∪ perturbed(documents)``: docs with doc_id < 40 are re-emitted at
+doc_id+100000 with their first three words dropped — a deterministic
+near-duplicate construction expressed identically in Spark and the DuckDB
+oracle (so candidate/verify results are non-vacuous and exactly comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, textquality
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_with_dups(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    perturbed = (
+        docs.where(F.col("doc_id") < 40)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 4, 1_000_000)).alias("text"),
+        )
+    )
+    return docs.unionByName(perturbed)
+
+
+_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[4:greatest(len(string_split(text, ' ')), 4)],
+           ' ') AS text
+  FROM documents WHERE doc_id < 40
+"""
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))"
+
+# shingles CTE (word 3-grams, distinct per doc) — twin of dedup.shingles
+_SHINGLES_SQL = f"""
+  WITH dd AS ({_DUPS_SQL}),
+  arrs AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS arr FROM dd
+  ),
+  pos AS (
+    SELECT doc_id, arr, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+    FROM arrs
+  ),
+  sh0 AS (
+    SELECT doc_id, array_to_string(arr[i:i+2], ' ') AS shingle FROM pos
+  )
+  SELECT DISTINCT doc_id, shingle FROM sh0
+  WHERE len(string_split(shingle, ' ')) = 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(normalized text) hash-groupBy, keep min doc_id."""
+    return dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q_shingles(spark, sf_dir):
+    """Shingle extraction (the dedup primitive): distinct word 3-grams."""
+    return dedup.shingles(_docs_with_dups(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """Portable MinHash: per (doc, hash-permutation) lexicographic md5 min."""
+    sh = dedup.shingles(_docs_with_dups(spark, sf_dir))
+    return dedup.minhash_signatures(sh)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: banded signature bucket join (the scale path —
+    candidates meet only inside band buckets, never all-pairs)."""
+    sh = dedup.shingles(_docs_with_dups(spark, sf_dir))
+    sig = dedup.minhash_signatures(sh)
+    return dedup.lsh_candidate_pairs(sig)
+
+
+def q_jaccard_dedup(spark, sf_dir):
+    """Exact n-gram Jaccard ≥ 0.5 over shared-shingle candidate pairs."""
+    sh = dedup.shingles(_docs_with_dups(spark, sf_dir))
+    return dedup.jaccard_pairs(sh)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document (tf-weighted per-bit majority)."""
+    return dedup.simhash(_docs_with_dups(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 fixed query vectors (exact baseline)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.brute_force_knn(emb.where(F.col("vec_id") >= 5), queries)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path) — no SQL oracle (seeded hyperplanes);
+    driver records rows-only. Recall is measured against the brute-force
+    twin in tests/test_pipeline_ops.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ann_knn_lsh(
+        emb.where(F.col("vec_id") >= 5), queries, dim=dim
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (cos ≥ 0.98). The random
+    test embeddings are near-orthogonal (max pairwise cos ≈ 0.44), so docs
+    vec_id < 20 are re-emitted at vec_id+100000 with a small deterministic
+    perturbation (first component +0.05) — genuine near-dups, constructed
+    identically in the oracle."""
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    base = emb.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("embedding")
+    )
+    arr = F.col("embedding")
+    perturbed = base.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(arr, 1) + 0.05), F.slice(arr, 2, 1_000_000)
+        ).alias("embedding"),
+    )
+    return similarity.near_dup_pairs(base.unionByName(perturbed), threshold=0.98)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    return textquality.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return textquality.quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return textquality.token_counts(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textquality.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload plumbing: wrap text bytes as an opaque media column,
+    surface typed metadata (byte length + digest)."""
+    from .operators.multimodal import wrap_binary
+
+    docs = _read(spark, sf_dir, "documents")
+    return wrap_binary(docs, "doc_id", "text", "text/plain").select(
+        "media_id", "media_type", "n_bytes", "digest"
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session; session ids
+    are per-user cumulative sums (streaming session_window's batch twin)."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so NTZ→LTZ→epoch
+    # is exact and matches the oracle's epoch_ms//1000
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_gap = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "shingles": q_shingles,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "jaccard_dedup": q_jaccard_dedup,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "sessionize": q_sessionize,
+}
+
+_MARKERS_EN = "'the','and','of','to','is','you','that','it'"
+
+ORACLE_SQL = {
+    "dedup_exact": f"""
+        WITH dd AS ({_DUPS_SQL})
+        SELECT md5({_NORM_SQL}) AS digest,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM dd GROUP BY 1
+    """,
+    "shingles": _SHINGLES_SQL,
+    "minhash_signatures": f"""
+        WITH sh AS ({_SHINGLES_SQL})
+        SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS h)
+        GROUP BY doc_id, h
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+          SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
+          FROM sh CROSS JOIN (SELECT unnest(range(12)) AS h)
+          GROUP BY doc_id, h
+        ),
+        banded AS (
+          SELECT doc_id, (h // 2) AS band,
+                 md5(string_agg(h || ':' || minhash, ','
+                     ORDER BY h || ':' || minhash)) AS bucket
+          FROM sig GROUP BY doc_id, (h // 2)
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """,
+    "jaccard_dedup": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, inter,
+               sa.sz + sb.sz - inter AS union_size,
+               round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+    """,
+    "simhash": f"""
+        WITH dd AS ({_DUPS_SQL}),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf, md5(term) AS hash
+          FROM (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM dd
+          ) WHERE term <> ''
+          GROUP BY doc_id, term
+        ),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN substr(hash, j + 1, 1) IN
+                     ('8','9','a','b','c','d','e','f')
+                     THEN tf ELSE -tf END) AS v
+          FROM tf CROSS JOIN (SELECT unnest(range(32)) AS j)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                 AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cos, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+    """,
+    "embedding_near_dups": """
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding
+          FROM embeddings WHERE vec_id < 200
+        ),
+        ee AS (
+          SELECT vec_id, embedding FROM base
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_prepend(embedding[1] + 0.05,
+                              embedding[2:len(embedding)]) AS embedding
+          FROM base WHERE vec_id < 20
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+        FROM ee a JOIN ee b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.98
+    """,
+    "lang_id": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z]+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ),
+        markers(lang, term) AS (
+          SELECT 'en', unnest([{_MARKERS_EN}])
+          UNION ALL SELECT 'de', unnest(['der','die','das','und','ist','nicht','ich','ein'])
+          UNION ALL SELECT 'es', unnest(['el','la','de','que','y','los','es','un'])
+          UNION ALL SELECT 'fr', unnest(['le','la','de','et','les','des','un','est'])
+        ),
+        votes AS (
+          SELECT t.doc_id, m.lang, count(*) AS votes
+          FROM toks t JOIN markers m ON t.term = m.term
+          GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT doc_id, lang, votes, row_number() OVER (
+            PARTITION BY doc_id ORDER BY votes DESC, lang ASC) AS rn
+          FROM votes
+        )
+        SELECT d.doc_id,
+               coalesce(b.lang, 'und') AS pred_lang,
+               coalesce(b.votes, 0) AS votes
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+    "quality_score": f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             w -> w <> '') AS toks
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id, n_chars,
+                 len(toks) AS n_tokens,
+                 round(n_alpha / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+                   AS mean_token_len,
+                 round(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 6)
+                   AS alpha_ratio,
+                 round(len(list_filter(toks, w -> w IN ({_MARKERS_EN})))
+                       / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+                   AS stopword_ratio
+          FROM base
+        )
+        SELECT doc_id, n_chars, n_tokens, mean_token_len, alpha_ratio,
+               stopword_ratio,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + alpha_ratio * 0.3 + stopword_ratio * 0.3, 6) AS quality
+        FROM feat
+    """,
+    "token_counts": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> w <> '') AS ws_toks,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             w -> w <> '') AS words,
+                 list_filter(regexp_split_to_array(text, '[\\sa-zA-Z]+'),
+                             w -> w <> '') AS other
+          FROM documents
+        )
+        SELECT doc_id,
+               len(ws_toks) AS ws_tokens,
+               len(words) AS word_tokens,
+               CAST(coalesce(list_sum(list_transform(words,
+                    w -> CAST(ceil(length(w) / 4.0) AS INT))), 0)
+                    + len(other) AS BIGINT) AS bpe_ish_tokens
+        FROM base
+    """,
+    "fingerprint": f"""
+        WITH base AS (
+          SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, norm,
+                 unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+          FROM base
+        )
+        SELECT doc_id, md5(any_value(norm)) AS digest,
+               min(md5(substr(norm, i, 8))) AS min_gram_hash
+        FROM pos GROUP BY doc_id
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS media_id, 'text/plain' AS media_type,
+               octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        FROM documents
+    """,
+    "sessionize": """
+        WITH gaps AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR (epoch_ms(ts) // 1000) - (epoch_ms(lag(ts) OVER w) // 1000) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, value,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+}

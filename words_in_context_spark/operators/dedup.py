@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a composition of built-in DataFrame ops (no UDFs in the
+hot path — everything is JVM-side and shuffle-aware):
+
+  * exact          — md5(normalized text) groupBy; keep min doc_id
+  * minhash + LSH  — word shingles → md5-permutation minima → banded LSH
+                     bucket join → candidate pairs (+ exact-jaccard verify)
+  * simhash        — per-bit weighted majority over term md5 bits
+  * n-gram jaccard — shared-shingle candidate join → |∩|/|∪|
+
+Determinism & portability: every hash is md5-hex (identical in Spark and
+DuckDB), minima are LEXICOGRAPHIC over hex strings (portable MinHash
+permutations: md5(i || '|' || shingle)), so the driver's oracle comparison is
+exact — no engine-specific hash functions anywhere.
+
+Scale notes: the LSH band join is the scale path (candidates only meet inside
+a band bucket — no n² pair space); the plain shingle join variant is the
+small-scale oracle twin. Shingle explosion is bounded by SHINGLE_K words per
+shingle and distinct-per-doc dedup before joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3  # words per shingle
+N_HASHES = 12  # minhash signature length
+BAND_SIZE = 2  # rows per band → 6 bands
+JACCARD_THRESHOLD = 0.5
+
+
+def normalized_text(col):
+    """Dedup normalization: lowercase, collapse non-letter runs to one space."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}]+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(digest, keep_id, n_dups): one row per distinct normalized text."""
+    return (
+        docs.select(
+            F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word-k-gram shingles per doc: (id, shingle)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.size(F.split(F.col("shingle"), " ")) == k)
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """(id, h, minhash): lexicographic md5 minima under n_hashes portable
+    'permutations' (salted md5)."""
+    hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
+    return (
+        sh.select(F.col(id_col), hs, "shingle")
+        .withColumn(
+            "hval",
+            F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))),
+        )
+        .groupBy(id_col, "h")
+        .agg(F.min("hval").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Band the signatures, bucket-join within bands → candidate (a, b) pairs
+    (a < b). The join key is md5(band || concatenated minima) — collision
+    space is per-band, never all-pairs."""
+    banded = (
+        sig.withColumn("band", (F.col("h") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(
+                    F.concat_ws(":", F.col("h").cast("string"), "minhash")
+                )))
+            ).alias("bucket")
+        )
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs: (a, b, inter, union_size,
+    jaccard). Candidates default to docs sharing ≥1 shingle."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / F.col("union_size"), 6)
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "a", "b", "inter", "union_size", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            n_bits: int = 32) -> DataFrame:
+    """(id, simhash string of 0/1): weighted per-bit majority over the md5
+    bits of each distinct term (weight = tf). Bit j of a term = high bit of
+    the j-th hex nibble of md5(term) — portable to SQL via substr+IN."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    tf = (
+        docs.select(F.col(id_col), F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("hash", F.md5("term"))
+    )
+    bits = tf.select(
+        id_col,
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+        "hash",
+    ).withColumn(
+        "vote",
+        F.when(
+            F.substring("hash", F.col("j") + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            F.col("tf"),
+        ).otherwise(-F.col("tf")),
+    )
+    return (
+        bits.groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", F.when(F.col("v") > 0, "1").otherwise("0").alias("bit")))
+                    ),
+                    lambda s: s.bit,
+                ),
+            ).alias("simhash")
+        )
+    )

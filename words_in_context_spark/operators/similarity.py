@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline, pure built-in expressions
+    (zip_with + aggregate fold: JVM-side, codegen'd; no Python);
+  * LSH-bucketed ANN — the scale path: signed random hyperplane sketches
+    (seeded, deterministic) → Hamming-bucket candidates → exact re-rank
+    within buckets. At 10^9+ vectors the bucket join replaces the n² cross
+    product; probes = multi-bucket lookup.
+
+Embedding-cosine near-duplicate detection composes the same primitives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+    (q_id, vec_id, cos, rank) — cos rounded to 6dp BEFORE ranking so ranks
+    are reproducible across engines; broadcast the (small) query side."""
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(q_id_col), as_double(F.col(q_vec_col)).alias("q"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("q")), 6))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cos", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic signed random projections (public LSH construction)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_sketch(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sketch string of sign bits). Planes ship as a literal array —
+    tiny, broadcast with the plan itself."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    v = as_double(F.col(vec_col))
+    sk = F.concat_ws(
+        "",
+        F.transform(
+            planes_lit,
+            lambda p: F.when(_dot(v, p) >= 0, "1").otherwise("0"),
+        ),
+    )
+    return vectors.select(F.col(id_col), sk.alias("sketch"))
+
+
+def ann_knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    band_size: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band with the query, then
+    exact cosine re-rank within candidates. Recall < 1 by construction; the
+    brute-force path is the oracle."""
+    planes = hyperplanes(dim, n_planes, seed)
+    vs = lsh_sketch(vectors, planes, id_col, vec_col)
+    qs = lsh_sketch(
+        queries.select(F.col(q_id_col).alias(id_col), F.col(q_vec_col).alias(vec_col)),
+        planes,
+        id_col,
+        vec_col,
+    ).withColumnRenamed(id_col, q_id_col)
+
+    n_bands = n_planes // band_size
+    def banded(df, idc):
+        return df.select(
+            idc,
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+            F.col("sketch"),
+        ).withColumn(
+            "bucket", F.substring("sketch", F.col("band") * band_size + 1, band_size)
+        ).drop("sketch")
+
+    cand = (
+        banded(vs, id_col)
+        .join(banded(qs, q_id_col), ["band", "bucket"])
+        .select(q_id_col, id_col)
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(q_id_col), as_double(F.col(q_vec_col)).alias("q"))
+    scored = (
+        cand.join(v, id_col)
+        .join(F.broadcast(q), q_id_col)
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("q")), 6))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cos", "rank")
+    )
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+    Small-scale exact form; the LSH candidate join replaces the self cross
+    join at scale (same re-rank)."""
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    a = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

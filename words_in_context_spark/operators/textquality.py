@@ -1,0 +1,137 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure built-in expressions (JVM-side), all with
+exact DuckDB oracle twins (portable md5 / string ops only).
+
+These generalize the reference's corpus hygiene steps — language detection
+(/root/reference/extract_words.py:165-181) and the alpha/punctuation filters
+(:83-87,262-264) — into the filters a 100 TB training-data pipeline runs
+before indexing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists (public, common knowledge).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "you", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+}
+
+
+def tokens_simple(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    words = F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")
+    return docs.select(
+        F.col(id_col), F.explode(words).alias("term")
+    ).where(F.col("term") != "")
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, votes): argmax stopword-marker votes, tie-break by
+    language code asc; 'und' (undetermined) when nothing matches."""
+    toks = tokens_simple(docs, id_col, text_col)
+    votes = None
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        v = (
+            toks.where(F.col("term").isin(markers))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("votes"))
+            .withColumn("lang", F.lit(lang))
+        )
+        votes = v if votes is None else votes.unionByName(v)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "votes")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("votes", F.lit(0)).alias("votes"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + a composite score:
+    (id, n_chars, n_tokens, mean_token_len, alpha_ratio, stopword_ratio,
+    quality). All ratios rounded to 6dp."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    words = F.split(F.lower(text), r"[^\p{L}]+")
+    toks = F.filter(words, lambda w: w != "")
+    n_tokens = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    mean_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 6)
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + stop_ratio * 0.3,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, ws_tokens, word_tokens, bpe_ish_tokens): whitespace split count,
+    letter-run count, and a BPE-ish sub-word proxy (letter runs split at
+    4-char boundaries + digit/punct runs — a deterministic stand-in for a
+    real tokenizer's piece count)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+    words = F.filter(F.split(F.lower(text), r"[^\p{L}]+"), lambda w: w != "")
+    word_n = F.size(words)
+    # ceil(len/4) pieces per word + one per non-space punct/digit run
+    pieces = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
+    )
+    other_runs = F.size(
+        F.filter(
+            F.split(text, r"[\s\p{L}]+"), lambda w: w != ""
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        word_n.alias("word_tokens"),
+        (pieces + other_runs).alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                gram: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    character 8-grams of the normalized text, plus the full-text digest.
+    (id, digest, min_gram_hash). Robust to local edits the way a rolling-
+    hash fingerprint is, while staying portable SQL."""
+    from .dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    pos = F.sequence(F.lit(1), F.greatest(F.length(norm) - gram + 1, F.lit(1)))
+    grams = F.transform(pos, lambda i: F.md5(F.substring(norm, i, gram)))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("digest"),
+        F.array_min(grams).alias("min_gram_hash"),
+    )
