@@ -1,0 +1,145 @@
+"""Streaming: incremental index maintenance (exactly-once, merge correctness)
+and event-time windowed aggregation parity with batch."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from words_in_context_spark.corpus import generate_pages
+from words_in_context_spark.index import manifest as mf
+from words_in_context_spark.index.build import build_index
+from words_in_context_spark.index.query import (
+    load_index,
+    query_topk_local,
+)
+from words_in_context_spark.streaming.incremental import (
+    incremental_build,
+    merge_docs_into_index,
+)
+
+SF001 = "/root/testdata/sf0.001"
+N_FIRST, N_SECOND = 20, 12
+
+
+def _pages_df(spark, pages):
+    return spark.createDataFrame(
+        [
+            (p["url"], p["warc_ts"].replace(tzinfo=None), p["html"],
+             p["text"], p["lang"])
+            for p in pages
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    return {
+        "input": str(root / "input"),
+        "index": str(root / "index"),
+        "ckpt": str(root / "ckpt"),
+        "batch_index": str(root / "batch_index"),
+    }
+
+
+def test_incremental_equals_batch(spark, dirs):
+    pages = generate_pages(N_FIRST + N_SECOND, seed=31)
+    first, second = pages[:N_FIRST], pages[N_FIRST:]
+
+    # initial batch build on the first tranche
+    build_index(spark, _pages_df(spark, first), dirs["index"],
+                n_buckets=8, n_salts=4)
+    stats0 = mf.read_stats(dirs["index"])
+    assert stats0["n_docs"] == N_FIRST
+
+    # stream in the second tranche (two parquet files → ≥1 micro-batch)
+    os.makedirs(dirs["input"], exist_ok=True)
+    _pages_df(spark, second[:6]).coalesce(1).write.mode("append").parquet(dirs["input"])
+    _pages_df(spark, second[6:]).coalesce(1).write.mode("append").parquet(dirs["input"])
+    incremental_build(spark, dirs["input"], dirs["index"], dirs["ckpt"])
+
+    stats1 = mf.read_stats(dirs["index"])
+    assert stats1["n_docs"] == N_FIRST + N_SECOND
+    assert stats1["avgdl"] == stats0["avgdl"]  # frozen global stats
+
+    # exactly-once: draining again changes nothing
+    incremental_build(spark, dirs["input"], dirs["index"], dirs["ckpt"])
+    assert mf.read_stats(dirs["index"])["n_docs"] == N_FIRST + N_SECOND
+
+    # re-delivery of the same urls under new file names → anti-join skips
+    _pages_df(spark, second[:3]).coalesce(1).write.mode("append").parquet(dirs["input"])
+    incremental_build(spark, dirs["input"], dirs["index"], dirs["ckpt"])
+    assert mf.read_stats(dirs["index"])["n_docs"] == N_FIRST + N_SECOND
+
+    # content parity vs a batch build over the full corpus with the SAME
+    # frozen avgdl (postings content must be identical term by term)
+    from words_in_context_spark.index.query import _row_to_encoded
+    from words_in_context_spark.operators.codec import decode_postings
+
+    build_index(spark, _pages_df(spark, pages), dirs["batch_index"],
+                n_buckets=8, n_salts=4)
+
+    def postings_content(index_dir):
+        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        out = {}
+        for rec in seg.collect():
+            ids, tfs, dls = decode_postings(_row_to_encoded(rec.asDict()))
+            out[rec["term"]] = list(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
+        return out
+
+    inc = postings_content(dirs["index"])
+    bat = postings_content(dirs["batch_index"])
+    assert inc == bat
+
+    # and the index answers queries over ALL docs
+    h = load_index(dirs["index"])
+    top = query_topk_local(spark, h, ["storm", "the"], k=N_FIRST + N_SECOND)
+    assert len(top) > N_FIRST  # docs from the streamed tranche are retrievable
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from words_in_context_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        drain_to_memory,
+        windowed_counts,
+    )
+
+    events = spark.read.parquet(f"{SF001}/events.parquet")
+    src_dir = str(tmp_path / "events_in")
+    events.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    drain_to_memory(windowed_counts(stream), "win_out", output_mode="complete")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    expected = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_counts(events).collect()
+    }
+    assert got == expected and len(got) > 100
+
+
+def test_session_windows_stream(spark, tmp_path):
+    from words_in_context_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        drain_to_memory,
+        session_windows,
+    )
+
+    events = spark.read.parquet(f"{SF001}/events.parquet").where(
+        F.col("user_id") < 10
+    )
+    src_dir = str(tmp_path / "events_in2")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    drain_to_memory(session_windows(stream), "sess_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_out")
+    batch = session_windows(events)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 10

@@ -130,45 +130,48 @@ def generate_pages(
 def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Materialize the corpus as a Spark DataFrame.
 
-    For large n_docs the generation itself is distributed: we parallelize the
-    doc-id range and generate rows inside mapPartitions on executors (each doc
-    has an independent seeded RNG stream, so generation is order-free and
+    Generation is distributed AND Arrow-batched: ``spark.range`` provides the
+    doc-id space, ``mapInPandas`` generates whole batches per partition (each
+    doc has an independent seeded RNG stream, so generation is order-free and
     embarrassingly parallel — this is how the corpus would be synthesized at
-    10^12-doc scale too).
+    10^12-doc scale too; the RDD/pickle path was ~10× slower per row).
     """
-    from pyspark.sql import types as T
+    import pandas as pd
 
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), False),
-            T.StructField("html", T.BinaryType(), False),
-            T.StructField("text", T.StringType(), False),
-            T.StructField("lang", T.StringType(), False),
-        ]
-    )
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
-    def gen(ids):
+    def gen(it):
         epoch = dt.datetime(2024, 1, 1)
-        for i in ids:
-            rng = random.Random((seed << 20) ^ i)
-            lang = rng.choice(_LANGS)
-            srt = make_srt_text(rng, lang, rng.randint(20, 80))
-            html = (
-                "<!DOCTYPE html><html><head><title>doc-"
-                + str(i)
-                + '</title></head><body><pre class="srt">'
-                + srt
-                + "</pre></body></html>"
-            ).encode("utf-8")
-            yield (
-                f"https://corpus.example/{lang}/doc-{i:08d}.srt",
-                epoch + dt.timedelta(seconds=i * 37),
-                html,
-                srt,
-                lang,
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].tolist():
+                rng = random.Random((seed << 20) ^ i)
+                lang = rng.choice(_LANGS)
+                srt = make_srt_text(rng, lang, rng.randint(20, 80))
+                html = (
+                    "<!DOCTYPE html><html><head><title>doc-"
+                    + str(i)
+                    + '</title></head><body><pre class="srt">'
+                    + srt
+                    + "</pre></body></html>"
+                ).encode("utf-8")
+                rows.append(
+                    (
+                        f"https://corpus.example/{lang}/doc-{i:08d}.srt",
+                        epoch + dt.timedelta(seconds=i * 37),
+                        html,
+                        srt,
+                        lang,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    rdd = spark.sparkContext.parallelize(range(n_docs), n_parts).mapPartitions(gen)
-    return spark.createDataFrame(rdd, schema)
+    return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(
+        gen,
+        schema=(
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        ),
+    )

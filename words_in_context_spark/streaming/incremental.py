@@ -1,0 +1,229 @@
+"""Incremental index maintenance via Structured Streaming.
+
+Generalizes the reference's incremental build (ST1: skip files already in the
+cache, append new ones — /root/reference/extract_words.py:351-357,372-376)
+into a streaming pipeline:
+
+    readStream(parquet dir of web pages)
+      → trigger(availableNow)                 # batch-incremental execution
+      → foreachBatch(merge_docs_into_index)   # exactly-once per micro-batch
+
+Exactly-once is layered:
+  * the file-source checkpoint guarantees each input FILE is processed once;
+  * an anti-join against doc_map guarantees each URL is indexed once even if
+    re-delivered under a different file name (the reference's cache-key
+    semantics, with url as the key);
+  * segment rewrites go through the same dynamic-partition-overwrite +
+    manifest commit as the batch build.
+
+Global-stats policy: ``avgdl`` is FROZEN at initial-build value (recorded in
+stats.json). Merged terms are re-encoded with the frozen avgdl, so block
+max-impact metadata remains an exact upper bound for query-time scores and
+WAND stays lossless; the true corpus avgdl drifts until a full rebuild —
+standard search-engine practice (global stats refresh is periodic
+maintenance, not per-batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index import manifest as mf
+from ..index.build import (
+    SEGMENT_SCHEMA,
+    _RUN_SCHEMA,
+    _encode_run,
+    bucket_expr,
+    range_salt,
+)
+from ..operators.codec import decode_postings, encode_postings
+from ..operators.extract import tokenize
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _merge_with_existing(avgdl: float, n_buckets: int):
+    """applyInPandas per term: decode existing segment row (if any) + new
+    encoded runs, concatenate, sort by doc_id, re-encode with frozen avgdl."""
+    from ..index.build import _py_bucket
+    from ..index.query import _row_to_encoded
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        ids_parts, tf_parts, dl_parts = [], [], []
+        for rec in pdf.to_dict("records"):
+            enc = _row_to_encoded(rec)
+            ids, tfs, dls = decode_postings(enc)
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+            dl_parts.append(dls)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        order = np.argsort(ids, kind="mergesort")
+        enc = encode_postings(ids[order], tfs[order], dls[order], avgdl)
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "bucket": _py_bucket(term, n_buckets),
+                    "df": enc.df,
+                    "cf": enc.cf,
+                    "doc_bytes": enc.doc_bytes,
+                    "tf_bytes": enc.tf_bytes,
+                    "dl_bytes": enc.dl_bytes,
+                    "first_doc": enc.first_doc.tolist(),
+                    "last_doc": enc.last_doc.tolist(),
+                    "n": enc.n.tolist(),
+                    "doc_off": enc.doc_off.tolist(),
+                    "tf_off": enc.tf_off.tolist(),
+                    "dl_off": enc.dl_off.tolist(),
+                    "max_impact": enc.max_impact.tolist(),
+                    "max_impact_all": float(enc.max_impact.max()),
+                }
+            ]
+        )
+
+    return fn
+
+
+def merge_docs_into_index(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> int:
+    """Merge a batch of new documents into an existing index. Returns the
+    number of genuinely-new documents indexed."""
+    stats = mf.read_stats(index_dir)
+    avgdl = float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+    n_salts = int(stats["n_salts"])
+    doc_map_path = os.path.join(index_dir, "doc_map")
+    seg_path = os.path.join(index_dir, "segments")
+
+    doc_map = spark.read.parquet(doc_map_path)
+    # ST1 semantics: index each url exactly once (anti-join the "cache")
+    fresh = new_docs.join(doc_map.select("url"), "url", "left_anti")
+
+    tf_new = (
+        tokenize(fresh)
+        .groupBy("url", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    new_map = (
+        tf_new.groupBy("url")
+        .agg(F.sum("tf").alias("doc_len"))
+        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .select("doc_id", "url", "doc_len")
+        .persist()
+    )
+    n_new = new_map.count()
+    if n_new == 0:
+        tf_new.unpersist()
+        new_map.unpersist()
+        return 0
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    postings_in = (
+        tf_new.join(new_map, "url")
+        .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
+        .select("term", "bucket", "doc_id", "tf", "doc_len")
+    )
+    new_runs = (
+        postings_in.withColumn("salt", range_salt(F.col("doc_id"), n_salts))
+        .groupBy("term", "salt")
+        .applyInPandas(_encode_run(avgdl), schema=_RUN_SCHEMA)
+    )
+
+    affected_buckets = [
+        int(r["bucket"])
+        for r in new_runs.select(
+            bucket_expr(F.col("term"), n_buckets).alias("bucket")
+        ).distinct().collect()
+    ]
+    old = spark.read.parquet(seg_path).where(
+        F.col("bucket").isin(affected_buckets)
+    )
+    # untouched terms in affected buckets pass through unchanged; terms with
+    # new postings get decode-merge-re-encode
+    new_terms = new_runs.select("term").distinct()
+    untouched = old.join(new_terms, "term", "left_anti")
+    to_merge_old = old.join(new_terms, "term", "left_semi").drop(
+        "bucket", "max_impact_all"
+    )
+    runs_as_segments = new_runs.drop("salt")
+    merged = (
+        to_merge_old.unionByName(runs_as_segments, allowMissingColumns=False)
+        .groupBy("term")
+        .applyInPandas(_merge_with_existing(avgdl, n_buckets), SEGMENT_SCHEMA)
+    )
+    out = untouched.unionByName(merged)
+    out.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(seg_path)
+
+    new_map.write.mode("append").parquet(doc_map_path)
+
+    # refresh manifest metrics for affected buckets + stats
+    seg = spark.read.parquet(seg_path)
+    metrics = {
+        int(r["bucket"]): r
+        for r in seg.where(F.col("bucket").isin(affected_buckets))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+        )
+        .collect()
+    }
+    for b in affected_buckets:
+        m = metrics.get(b)
+        mf.commit_bucket(
+            index_dir,
+            b,
+            {
+                "n_terms": int(m["n_terms"]) if m else 0,
+                "n_postings": int(m["n_postings"]) if m else 0,
+                "bytes": int(m["bytes"]) if m else 0,
+                "lineage": {"incremental": True, "added_docs": int(n_new)},
+            },
+        )
+    stats["n_docs"] = int(stats["n_docs"]) + int(n_new)
+    mf.write_stats(index_dir, stats)
+    tf_new.unpersist()
+    new_map.unpersist()
+    return int(n_new)
+
+
+def incremental_build(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available files from ``input_dir`` into the index
+    (trigger availableNow), exactly once per file via the stream checkpoint."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_docs_into_index(batch_df.sparkSession, batch_df, index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
