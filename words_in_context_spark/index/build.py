@@ -5,14 +5,12 @@ commits.
 Pipeline (generalizes /root/reference/extract_words.py:332-387 ``process_dir``):
 
   docs(url, text, lang)
-    │ mapInPandas extract+tokenize (narrow, no shuffle)
-  tokens(url, tok_idx, line_id, pos, term, ...)
-    │ groupBy(url, term) — SHUFFLE 1 (partial agg map-side)
-  tf(url, term, tf)
-    │ + doc_map(url → doc_id=xxhash64(url), doc_len) — re-agg of tf
-    │ groupBy(term, range_salt(doc_id)) — SHUFFLE 2, applyInPandas
+    │ mapInPandas extract+tokenize+per-doc tf (narrow, NO token shuffle —
+    │ the UDTF's output is already the forward index)
+  forward(url, term, tf, doc_len)          → parquet checkpoint (+ doc_map)
+    │ groupBy(term, range_salt(doc_id)) — SHUFFLE 1, applyInPandas
   runs(term, salt, encoded run)           ← head-term skew bounded by salt
-    │ groupBy(term) — SHUFFLE 3 of COMPRESSED bytes, applyInPandas
+    │ groupBy(term) — SHUFFLE 2 of COMPRESSED bytes, applyInPandas
   segments(term, bucket, df, cf, doc_bytes, tf_bytes, blocks...)
     │ write partitionBy(bucket), dynamic partition overwrite
   manifest: one JSON commit per bucket (index/manifest.py)
@@ -41,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.codec import EncodedPostings, encode_postings
-from ..operators.extract import tokenize
+from ..operators.extract import tokenize, tokenize_tf
 from . import manifest as mf
 
 SEGMENT_SCHEMA = (
@@ -198,29 +196,30 @@ def build_index(
 
     doc_map_path = os.path.join(index_dir, "doc_map")
     forward_path = os.path.join(index_dir, "forward")
-    if tokens is None:
-        tokens = tokenize(docs)
 
-    # The forward index (url, term, tf) feeds BOTH the doc-stats pass and the
-    # postings pass. It is materialized to parquet once so the extract+
-    # tokenize UDF runs over the corpus exactly once — a scratch parquet
-    # beats .persist() here (the in-memory columnar cache cost ~15s/40k docs
-    # and is lost on crash; the parquet doubles as a resume checkpoint and as
-    # the engine's term-doc matrix artifact).
+    # The forward index (url, term, tf, doc_len) is aggregated INSIDE the
+    # extract UDTF (per-document pandas groupby) — raw token rows are never
+    # shuffled, the map output IS the forward index. It is materialized to
+    # parquet once: the scratch parquet doubles as a resume checkpoint and
+    # as the engine's term-doc matrix artifact, and both downstream passes
+    # (doc stats, postings) read it instead of re-tokenizing.
     if not _exists(forward_path):
-        (
+        fwd = tokenize_tf(docs) if tokens is None else (
             tokens.groupBy("url", "term")
             .agg(F.count("*").alias("tf"))
-            .write.mode("overwrite")
-            .parquet(forward_path)
+            .withColumn(
+                "doc_len",
+                F.sum("tf").over(__import__("pyspark").sql.Window.partitionBy("url")),
+            )
         )
+        fwd.write.mode("overwrite").parquet(forward_path)
     forward = spark.read.parquet(forward_path)
 
     # ---- doc stats (A4/A7): built once, reused on resume -------------------
     if not _exists(doc_map_path):
         doc_map = (
             forward.groupBy("url")
-            .agg(F.sum("tf").alias("doc_len"))
+            .agg(F.max("doc_len").alias("doc_len"))
             .withColumn("doc_id", F.xxhash64(F.col("url")))
             .select("doc_id", "url", "doc_len")
         )
@@ -236,7 +235,8 @@ def build_index(
     todo = [b for b in range(n_buckets) if b not in done]
     if todo:
         postings_in = (
-            forward.join(doc_map, "url")
+            forward.drop("doc_len")
+            .join(doc_map, "url")
             .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
             .where(F.col("bucket").isin(todo))  # resume: only missing buckets
             .select("term", "bucket", "doc_id", "tf", "doc_len")

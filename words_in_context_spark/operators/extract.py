@@ -83,9 +83,15 @@ def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def tokenize(docs: DataFrame) -> DataFrame:
-    """docs(url, text[, lang]) → tokens(url, line_id, pos, term,
-    is_namecase, in_sound_desc). Narrow map, no shuffle."""
-    cols = [c for c in ("url", "text", "lang", "html") if c in docs.columns]
+    """docs(url, text[, lang]) → tokens(url, tok_idx, line_id, pos, term,
+    is_namecase, in_sound_desc). Narrow map, no shuffle.
+
+    The wide ``html`` binary column is read ONLY when no ``text`` column
+    exists — selecting it unconditionally would drag gigabytes of page bytes
+    through the scan and the Arrow channel that column pruning should drop."""
+    cols = [c for c in ("url", "text", "lang") if c in docs.columns]
+    if "text" not in cols and "html" in docs.columns:
+        cols.append("html")
     return docs.select(*cols).mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
 
 
@@ -120,3 +126,57 @@ def tokenize_simple(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
         .where(F.col("term") != "")
     )
+
+
+TF_SCHEMA = "url string, term string, tf int, doc_len int"
+
+
+def _tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-document tf aggregation INSIDE the UDF: emits one row per distinct
+    (url, term) with the document length attached. Because aggregation
+    happens before any shuffle, the index build never moves raw token rows —
+    the map-side output is already the forward index."""
+    from ..textparse_vec import tokenize_batch
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        urls = pdf["url"].tolist()
+        texts = (
+            pdf["text"].tolist() if "text" in pdf.columns else [None] * len(pdf)
+        )
+        if "html" in pdf.columns:
+            texts = [
+                t if t else (
+                    bytes(h).decode("utf-8", errors="ignore") if h is not None else ""
+                )
+                for t, h in zip(texts, pdf["html"].tolist())
+            ]
+        langs = (
+            pdf["lang"].fillna("en").tolist()
+            if "lang" in pdf.columns
+            else ["en"] * len(pdf)
+        )
+        out = tokenize_batch(urls, texts, langs)
+        if out.empty:
+            continue
+        tf = (
+            out.groupby(["doc_idx", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        doc_len = out.groupby("doc_idx", sort=False).size()
+        tf["doc_len"] = tf["doc_idx"].map(doc_len).astype("int32")
+        tf["url"] = tf["doc_idx"].map(lambda i: urls[i])
+        yield tf[["url", "term", "tf", "doc_len"]].astype(
+            {"tf": "int32", "doc_len": "int32"}
+        )
+
+
+def tokenize_tf(docs: DataFrame) -> DataFrame:
+    """docs(url, text[, lang]) → (url, term, tf, doc_len): the forward index
+    emitted directly from the extract UDTF with NO token-level shuffle."""
+    cols = [c for c in ("url", "text", "lang") if c in docs.columns]
+    if "text" not in cols and "html" in docs.columns:
+        cols.append("html")
+    return docs.select(*cols).mapInPandas(_tf_batches, schema=TF_SCHEMA)

@@ -42,7 +42,7 @@ from ..index.build import (
     range_salt,
 )
 from ..operators.codec import decode_postings, encode_postings
-from ..operators.extract import tokenize
+from ..operators.extract import tokenize_tf
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -110,15 +110,10 @@ def merge_docs_into_index(
     # ST1 semantics: index each url exactly once (anti-join the "cache")
     fresh = new_docs.join(doc_map.select("url"), "url", "left_anti")
 
-    tf_new = (
-        tokenize(fresh)
-        .groupBy("url", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
-    )
+    tf_new = tokenize_tf(fresh).persist()  # tf aggregated inside the UDF
     new_map = (
         tf_new.groupBy("url")
-        .agg(F.sum("tf").alias("doc_len"))
+        .agg(F.max("doc_len").alias("doc_len"))
         .withColumn("doc_id", F.xxhash64(F.col("url")))
         .select("doc_id", "url", "doc_len")
         .persist()
@@ -132,7 +127,7 @@ def merge_docs_into_index(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     postings_in = (
-        tf_new.join(new_map, "url")
+        tf_new.drop("doc_len").join(new_map, "url")
         .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
         .select("term", "bucket", "doc_id", "tf", "doc_len")
     )
