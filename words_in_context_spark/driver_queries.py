@@ -453,3 +453,163 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY lang
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# operator fill-in: grouping sets, pivot, set ops, positional postings
+# ---------------------------------------------------------------------------
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE over two dims (grouping-set aggregates; NULL marks totals)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_rollup_order_months(spark, sf_dir):
+    """ROLLUP over (year, month) of o_orderdate."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .withColumn("mo", F.month("o_orderdate"))
+        .rollup("yr", "mo")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_pivot_status_priority(spark, sf_dir):
+    """Pivot: order counts, status rows × priority columns."""
+    o = _read(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pt = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+        for i, p in enumerate(prios)
+    ]
+    return pt.select(*cols)
+
+
+def q_segment_set_ops(spark, sf_dir):
+    """Set operations: customers in BUILDING ∪ AUTOMOBILE minus those with an
+    open order (UNION / EXCEPT over keys)."""
+    c = _read(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 250000)
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct().exceptAll(o.distinct())
+
+
+def q_term_positions(spark, sf_dir):
+    """A1 positional postings: per (doc, term) the ordered occurrence
+    positions, serialized for hash-stable comparison."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("pos")),
+                    lambda p: p.cast("string"),
+                ),
+            ).alias("positions")
+        )
+    )
+
+
+def q_docs_for_terms(spark, sf_dir):
+    """Inverted lookup: documents ranked by tf for two fixed terms."""
+    tf = _tf(spark, sf_dir)
+    sel = tf.where(F.col("term").isin("spark", "window"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        sel.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 15)
+        .select("term", "doc_id", "tf", "rank")
+    )
+
+
+QUERIES.update(
+    {
+        "cube_orders": q_cube_orders,
+        "rollup_order_months": q_rollup_order_months,
+        "pivot_status_priority": q_pivot_status_priority,
+        "segment_set_ops": q_segment_set_ops,
+        "term_positions": q_term_positions,
+        "docs_for_terms": q_docs_for_terms,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "rollup_order_months": """
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (yr, mo)
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "segment_set_ops": """
+            SELECT c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            )
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'O' AND o_totalprice > 250000
+        """,
+        "term_positions": f"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '{TOKEN_SPLIT}') AS arr
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, len(arr))) AS i
+              FROM arrs
+            )
+            SELECT doc_id, arr[i] AS term,
+                   string_agg(i - 1, ',' ORDER BY i) AS positions
+            FROM pos WHERE arr[i] <> ''
+            GROUP BY doc_id, arr[i]
+        """,
+        "docs_for_terms": f"""
+            WITH tf AS ({{_TF_SQL}}),
+            ranked AS (
+              SELECT term, doc_id, tf, row_number() OVER (
+                PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank
+              FROM tf WHERE term IN ('spark', 'window')
+            )
+            SELECT term, doc_id, tf, rank FROM ranked WHERE rank <= 15
+        """,
+    }
+)
+ORACLE_SQL["docs_for_terms"] = ORACLE_SQL["docs_for_terms"].replace(
+    "{_TF_SQL}", _TF_SQL
+)
