@@ -42,6 +42,12 @@ class IndexHandle:
     n_buckets: int
     n_salts: int
 
+    def __post_init__(self) -> None:
+        # hot-postings cache for the interactive path: term → EncodedPostings
+        # (None = term absent from the index). Real engines keep hot posting
+        # lists resident; this is the single-node analog.
+        self._term_cache: dict[str, EncodedPostings | None] = {}
+
     @property
     def segments_path(self) -> str:
         return os.path.join(self.index_dir, "segments")
@@ -118,17 +124,36 @@ def _slice_encoded(enc: EncodedPostings, b0: int, b1: int) -> EncodedPostings:
     )
 
 
+def _read_segment_rows_arrow(h: IndexHandle, terms: list[str]) -> dict:
+    """Driver-side pruned read of segment rows via pyarrow — no Spark job.
+    Partition (bucket) dirs are pruned by the dataset filter; term equality
+    is pushed to parquet row groups. ~10-30ms vs ~300ms for a Spark job."""
+    import pyarrow.dataset as ds
+
+    buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
+    dataset = ds.dataset(h.segments_path, format="parquet", partitioning="hive")
+    expr = ds.field("bucket").isin(buckets) & ds.field("term").isin(
+        list(set(terms))
+    )
+    tbl = dataset.to_table(filter=expr)
+    return {rec["term"]: rec for rec in tbl.to_pylist()}
+
+
 def _collect_lists(
     spark: SparkSession, h: IndexHandle, terms: list[str]
 ) -> list[tuple[EncodedPostings, float]]:
-    rows = {
-        r["term"]: r
-        for r in _segment_rows(spark, h, terms).toPandas().to_dict("records")
-    }
+    wanted = sorted(set(terms))  # canonical term order
+    missing = [t for t in wanted if t not in h._term_cache]
+    if missing:
+        rows = _read_segment_rows_arrow(h, missing)
+        for t in missing:
+            h._term_cache[t] = (
+                _row_to_encoded(rows[t]) if t in rows else None
+            )
     lists = []
-    for t in sorted(set(terms)):  # canonical term order
-        if t in rows:
-            enc = _row_to_encoded(rows[t])
+    for t in wanted:
+        enc = h._term_cache[t]
+        if enc is not None:
             lists.append((enc, idf(h.n_docs, enc.df)))
     return lists
 
