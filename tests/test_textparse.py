@@ -269,3 +269,10 @@ def test_predicate_parity_random_strings():
         assert has_alpha(s) == REF["has_alpha"](s)
         if s:
             assert is_namecase(s) == REF["is_namecase"](s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=30))
+def test_has_alpha_fast_path_equals_isalpha_loop(s):
+    # the regex fast path must be indistinguishable from the char loop
+    assert has_alpha(s) == any(ch.isalpha() for ch in s)

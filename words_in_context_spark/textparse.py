@@ -58,8 +58,19 @@ _BOM = chr(65279)
 _SENT_END = (".", "!", "?", "…")
 
 
+_ASCII_ALPHA_SEARCH = _stdre.compile(r"[A-Za-z]").search
+
+
 def has_alpha(s: str) -> bool:
-    """True if any character is Unicode-alphabetic (extract_words.py:83-87)."""
+    """True if any character is Unicode-alphabetic (extract_words.py:83-87).
+
+    Hot path (called per line and per token). ASCII strings — the common
+    case — take a C-speed regex search that is exactly ``isalpha`` on ASCII;
+    anything else falls back to the per-char loop. (A \\p{L} regex fast path
+    is NOT equivalent: the regex module ships newer Unicode tables than
+    CPython's ``str.isalpha`` — e.g. U+13441 — found by hypothesis.)"""
+    if s.isascii():
+        return _ASCII_ALPHA_SEARCH(s) is not None
     return any(ch.isalpha() for ch in s)
 
 
