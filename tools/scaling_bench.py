@@ -12,6 +12,10 @@ throttling above ~8-16 effective cores). 2→8 therefore measures the ENGINE's
 scaling rather than the hypervisor's CPU cap; on a real 1000-executor cluster
 the analogous axis is executor count, where no such cap applies.
 
+Each level runs under ``taskset -c 0-(N-1)``: local[N] caps only task slots,
+while JVM shuffle/IO threads and python workers would otherwise spill onto
+idle host cores and inflate the low-parallelism baseline.
+
 Each parallelism level runs in its own subprocess (a JVM can't change its
 master); results + the efficiency table are written to BENCH/BASELINE.md.
 
@@ -65,8 +69,13 @@ print(json.dumps({{"cores": cores, "n_docs": n_docs, "sec": round(sec, 2),
 
 def run_level(cores: int, n_docs: int) -> dict:
     code = _CHILD.format(repo=REPO)
+    # hard CPU affinity: local[N] only caps Spark TASK slots — JVM-internal
+    # pools and python workers would otherwise steal idle host cores and
+    # corrupt the N-core measurement (observed: a "2-core" run beating its
+    # own 160k time at 240k). taskset pins the whole process tree.
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_docs)],
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, "-c", code, str(cores), str(n_docs)],
         capture_output=True,
         text=True,
         timeout=3600,

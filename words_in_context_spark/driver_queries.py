@@ -31,6 +31,9 @@ BM25_QUERY_TERMS = ["table", "query", "spark"]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the DuckDB oracle compares timestamps as naive-UTC strings; pin the
+    # session TZ here so results don't depend on the caller's session config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
