@@ -87,3 +87,37 @@ def test_empty_and_single():
     )
     assert wand_topk([(enc, 1.0)], 5, 10.0) == brute_force_topk([(enc, 1.0)], 5, 10.0)
     assert wand_topk([], 5, 10.0) == []
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_vectorized_equals_wand(seed):
+    import numpy as np
+
+    from words_in_context_spark.operators.topk import hybrid_topk, vectorized_topk
+
+    rng = np.random.default_rng(seed + 100)
+    n_terms = int(rng.integers(1, 6))
+    n_docs = int(rng.integers(20, 3000))
+    lists, avgdl = _make_lists(rng, n_terms, n_docs, float(rng.uniform(0.05, 0.9)))
+    for k in (1, 7, 100):
+        w = wand_topk(lists, k, avgdl)
+        v = vectorized_topk(lists, k, avgdl)
+        h = hybrid_topk(lists, k, avgdl)
+        assert v == w  # bit-identical scores, identical tie-breaks
+        assert h == w
+
+
+def test_vectorized_tie_boundary():
+    import numpy as np
+
+    from words_in_context_spark.operators.topk import vectorized_topk
+
+    # many docs with IDENTICAL scores straddling the k boundary
+    ids = np.arange(50, dtype=np.int64) * 3 + 1
+    tfs = np.full(50, 2, dtype=np.int64)
+    dls = np.full(50, 80, dtype=np.int64)
+    enc = encode_postings(ids, tfs, dls, avgdl=80.0)
+    got = vectorized_topk([(enc, 2.0)], 10, 80.0)
+    exp = brute_force_topk([(enc, 2.0)], 10, 80.0)
+    assert got == exp
+    assert [d for d, _ in got] == [int(i) for i in ids[:10]]

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.codec import EncodedPostings
-from ..operators.topk import brute_force_topk, wand_topk
+from ..operators.topk import brute_force_topk, hybrid_topk, wand_topk
 from . import manifest as mf
 from .build import _py_bucket
 
@@ -161,9 +161,11 @@ def _collect_lists(
 def query_topk_local(
     spark: SparkSession, h: IndexHandle, terms: list[str], k: int = 10
 ) -> list[tuple[int, float]]:
-    """Driver-side WAND (low-latency path)."""
+    """Driver-side retrieval (low-latency path): hybrid kernel — vectorized
+    exact evaluation for small candidate volumes, block-max WAND above the
+    crossover (both bit-identical, tests/test_topk.py)."""
     lists = _collect_lists(spark, h, terms)
-    return wand_topk(lists, k, h.avgdl)
+    return hybrid_topk(lists, k, h.avgdl)
 
 
 def query_topk(
@@ -257,7 +259,7 @@ def query_topk(
                 max_impact=np.asarray(rec["max_impact"], dtype=np.float32),
             )
             lists.append((enc, idfs[rec["term"]]))
-        top = wand_topk(lists, k, avgdl)
+        top = hybrid_topk(lists, k, avgdl)
         return pd.DataFrame(top, columns=["doc_id", "score"])
 
     partial = slices.groupBy("range_id").applyInPandas(

@@ -224,3 +224,67 @@ def brute_force_topk(
             scores[d] = scores.get(d, 0.0) + s
     rows = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
     return rows[:k]
+
+
+def vectorized_topk(
+    lists: list[tuple[EncodedPostings, float]],
+    k: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    """Exact top-k via full vectorized evaluation: decode every list, group
+    contributions by doc with np.unique, accumulate with np.add.at (array
+    order == canonical term order, so float summation order — and therefore
+    every score bit — matches wand_topk/brute_force_topk exactly).
+
+    Faster than the pointer-chasing WAND loop when candidate volume is small
+    (short lists / interactive queries); WAND wins when skipping can avoid
+    decoding most blocks. ``hybrid_topk`` picks per query."""
+    from .codec import decode_postings
+
+    if not lists:
+        return []
+    ids_parts, score_parts = [], []
+    for enc, idf in lists:
+        ids, tfs, dls = decode_postings(enc)
+        ids_parts.append(ids)
+        score_parts.append(idf * bm25_impact(tfs, dls, avgdl, k1, b))
+    all_ids = np.concatenate(ids_parts)
+    all_scores = np.concatenate(score_parts)
+    uniq, inverse = np.unique(all_ids, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inverse, all_scores)
+    if uniq.size <= k:
+        order = np.lexsort((uniq, -acc))
+    else:
+        part = np.argpartition(-acc, k - 1)[: k * 2]  # headroom for ties
+        # among the partition, order fully; ties at the k-th score need the
+        # smallest doc_ids, which argpartition alone doesn't guarantee —
+        # fall back to full sort when the boundary is tied
+        kth = np.partition(-acc, k - 1)[k - 1]
+        boundary_ties = np.count_nonzero(-acc == kth) > 1
+        if boundary_ties:
+            order = np.lexsort((uniq, -acc))
+        else:
+            order = part[np.lexsort((uniq[part], -acc[part]))]
+    out = [(int(uniq[i]), float(acc[i])) for i in order[:k]]
+    return out
+
+
+# below this many total postings, full vectorized evaluation beats block-max
+# skipping (measured on this box; both paths are exact and bit-identical)
+HYBRID_WAND_THRESHOLD = 250_000
+
+
+def hybrid_topk(
+    lists: list[tuple[EncodedPostings, float]],
+    k: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    total = sum(enc.df for enc, _ in lists)
+    if total <= HYBRID_WAND_THRESHOLD:
+        return vectorized_topk(lists, k, avgdl, k1, b)
+    return wand_topk(lists, k, avgdl, k1, b)
