@@ -110,3 +110,30 @@ def test_postings_roundtrip_negative_ids():
     assert np.array_equal(did, ids)
     assert np.array_equal(dtf, tfs)
     assert np.array_equal(ddl, dls)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=1, max_value=500),
+            st.integers(min_value=1, max_value=2000),
+        ),
+        min_size=1,
+        max_size=900,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_fast_decode_equals_blockwise(postings):
+    from words_in_context_spark.operators.codec import decode_postings_fast
+
+    postings.sort()
+    ids = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    dls = np.array([p[2] for p in postings], dtype=np.int64)
+    enc = encode_postings(ids, tfs, dls, avgdl=90.0, block=37)
+    a = decode_postings(enc)
+    b = decode_postings_fast(enc)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)

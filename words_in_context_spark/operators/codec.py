@@ -226,3 +226,30 @@ def merge_encoded_runs(
     dls = np.concatenate([r[2] for r in runs])
     order = np.argsort(ids, kind="mergesort")
     return encode_postings(ids[order], tfs[order], dls[order], avgdl, block=block)
+
+
+def decode_postings_fast(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-list decode without per-block Python: one varbyte pass per
+    stream, then a segmented cumsum reconstructs doc ids (each block's first
+    delta is its absolute biased value, so within block b starting at
+    posting s:  biased[i] = C[i] - C[s-1]  where C is the global cumsum).
+    Exact inverse of encode_postings (property-tested vs decode_postings)."""
+    if enc.df == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    deltas = varbyte_decode(enc.doc_bytes, enc.df)
+    tfs = varbyte_decode(enc.tf_bytes, enc.df).astype(np.int64)
+    dls = varbyte_decode(enc.dl_bytes, enc.df).astype(np.int64)
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.cumsum(enc.n.astype(np.int64))[:-1]  # posting index of each block start (except first)
+    base = np.zeros(enc.df, dtype=np.uint64)
+    if starts.size:
+        # value of C just before each block start, broadcast across the block
+        block_of = np.zeros(enc.df, dtype=np.int64)
+        block_of[starts] = 1
+        block_of = np.cumsum(block_of)
+        prev_c = np.concatenate(([np.uint64(0)], csum[starts - 1]))
+        base = prev_c[block_of]
+    biased = csum - base
+    ids = (biased - np.uint64(1 << 63)).astype(np.int64)
+    return ids, tfs, dls
