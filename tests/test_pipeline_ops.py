@@ -115,3 +115,39 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = multimodal.wrap_binary(docs, "doc_id", "text", "image")
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_features(media).collect()
+
+
+def test_ivf_ann_recall_and_exactness(spark):
+    from words_in_context_spark.operators.similarity import (
+        ann_knn_ivf,
+        brute_force_knn,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.where(F.col("vec_id") >= 5)
+
+    cents = ivf_train(vectors, n_centroids=8, n_iters=2)
+    assert len(cents) == 8 and len(cents[0]) == len(emb.first()["embedding"])
+
+    brute = brute_force_knn(vectors, queries, k=10)
+    ivf = ann_knn_ivf(
+        vectors, queries, k=10, n_centroids=8, n_probes=4, centroids=cents
+    )
+    b = {(r["q_id"], r["vec_id"]): r["cos"] for r in brute.collect()}
+    a = {(r["q_id"], r["vec_id"]): r["cos"] for r in ivf.collect()}
+    recall = len(set(a) & set(b)) / len(b)
+    assert recall >= 0.3, f"IVF recall {recall}"  # random vectors = worst case
+    for key, cos in a.items():  # re-rank is exact
+        if key in b:
+            assert abs(cos - b[key]) < 1e-9
+    # probing ALL cells must recover brute force exactly
+    full = ann_knn_ivf(
+        vectors, queries, k=10, n_centroids=8, n_probes=8, centroids=cents
+    )
+    f = {(r["q_id"], r["vec_id"], r["rank"]) for r in full.collect()}
+    bb = {(r["q_id"], r["vec_id"], r["rank"]) for r in brute.collect()}
+    assert f == bb

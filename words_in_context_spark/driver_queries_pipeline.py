@@ -137,6 +137,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (second scale path): k-means coarse quantizer, 4-probe cell
+    lookup, exact re-rank. No SQL oracle (iterative training) — rows-only;
+    full-probe==brute-force exactness is pinned in tests/test_pipeline_ops."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ann_knn_ivf(
+        emb.where(F.col("vec_id") >= 5), queries, k=10,
+        n_centroids=8, n_probes=4,
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Exact embedding-cosine near-duplicate pairs (cos ≥ 0.98). The random
     test embeddings are near-orthogonal (max pairwise cos ≈ 0.44), so docs
@@ -225,6 +239,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

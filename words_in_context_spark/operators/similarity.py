@@ -169,3 +169,116 @@ def near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed-cell re-rank —
+# the second scale path (LSH above). At 10^9+ vectors the cell assignment is
+# a narrow map against broadcast centroids and each query touches only
+# n_probes cells' postings.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_lit(centroids: list[list[float]]):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations as DataFrame ops: init = the vectors
+    with the n_centroids smallest ids (seed-free, reproducible), then
+    assign (broadcast centroids, argmax cosine) → per-cell mean."""
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    init = (
+        v.orderBy(id_col).limit(n_centroids).select("v").collect()
+    )
+    centroids = [row["v"] for row in init]
+    for _ in range(n_iters):
+        assigned = _ivf_assign_df(v, centroids)
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col("v")[i]).alias(f"c{i}")
+                        for i in range(len(centroids[0]))
+                    ]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["centroid"]) for r in rows}
+        centroids = [
+            by_cell.get(i, centroids[i]) for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def _ivf_assign_df(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(id_col, v, cell): nearest centroid by cosine (ties → lowest cell id).
+    One narrow pass: per-centroid cosines inside an array expression, argmax
+    via array_position on the max (first match wins ties)."""
+    sims = F.transform(
+        _centroid_lit(centroids), lambda c: cosine(F.col("v"), c)
+    )
+    return v.withColumn("_sims", sims).withColumn(
+        "cell",
+        (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast(
+            "int"
+        ),
+    ).drop("_sims")
+
+
+def ann_knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF retrieval: assign vectors to cells once, probe the n_probes
+    nearest cells per query, exact cosine re-rank within candidates.
+    Output schema matches brute_force_knn (its oracle twin in tests)."""
+    import numpy as np
+
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    if centroids is None:
+        centroids = ivf_train(vectors, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = _ivf_assign_df(v, centroids)
+
+    # per-query probe cells: centroids are tiny → computed driver-side
+    qrows = queries.select(
+        F.col(q_id_col), as_double(F.col(q_vec_col)).alias("q")
+    ).collect()
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r["q"], dtype=np.float64)
+        sims = Cn @ (q / np.linalg.norm(q))
+        for cell in np.argsort(-sims)[:n_probes]:
+            probe_rows.append((r[q_id_col], int(cell)))
+    spark = vectors.sparkSession
+    probes = spark.createDataFrame(probe_rows, f"{q_id_col} long, cell int")
+
+    cand = assigned.join(F.broadcast(probes), "cell").select(q_id_col, id_col, "v")
+    q = queries.select(F.col(q_id_col), as_double(F.col(q_vec_col)).alias("q"))
+    scored = cand.join(F.broadcast(q), q_id_col).withColumn(
+        "cos", F.round(cosine(F.col("v"), F.col("q")), 6)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cos", "rank")
+    )
