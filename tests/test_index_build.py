@@ -164,3 +164,36 @@ def test_resume_converges(spark, docs_df, index_dir, tmp_path_factory):
         ).select(*cols).collect()
     )
     assert a == b
+
+
+def test_snippet_lookup_j2(spark, docs_df, index_dir):
+    """J2 (gui.py:757-766): top-k docs joined back to their source lines via
+    doc_map; every returned row's line must tokenize to include some query
+    term (words-in-context integrity through the INDEX path)."""
+    from words_in_context_spark.index.query import (
+        load_index,
+        query_topk,
+        snippet_lookup,
+    )
+    from words_in_context_spark.operators.extract import extract_lines_df
+    from words_in_context_spark.textparse import tokenize_lines
+
+    h = load_index(index_dir)
+    terms = ["storm", "whisper"]
+    topk = query_topk(spark, h, terms, k=3)
+    lines = extract_lines_df(docs_df)
+    snip = snippet_lookup(spark, h, lines, topk)
+    rows = snip.collect()
+    assert rows, "snippet lookup returned nothing"
+    # every ranked doc contributes lines; sampled lines contain a query term
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 3
+    hit_lines = 0
+    for doc_rows in by_doc.values():
+        for r in doc_rows:
+            toks = {t.term for t in tokenize_lines([r["line"]]).tokens}
+            if toks & set(terms):
+                hit_lines += 1
+    assert hit_lines > 0
