@@ -121,3 +121,29 @@ def test_vectorized_tie_boundary():
     exp = brute_force_topk([(enc, 2.0)], 10, 80.0)
     assert got == exp
     assert [d for d, _ in got] == [int(i) for i in ids[:10]]
+
+
+def test_wand_actually_skips_blocks_on_selective_queries():
+    """The point of block-max WAND: a selective high-idf term caps the
+    threshold so most of the dense stopword list's blocks are never decoded."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n = 500_000
+    ids = np.arange(n, dtype=np.int64) * 11
+    dls = rng.integers(50, 200, size=n)
+    avgdl = float(dls.mean())
+    # dense stopword list: tf=1 everywhere → low, flat impact
+    common = encode_postings(ids, np.ones(n, dtype=np.int64), dls, avgdl)
+    # rare selective term: 200 docs, high tf
+    sel = np.sort(rng.choice(n, size=200, replace=False))
+    rare = encode_postings(
+        ids[sel], np.full(200, 25, dtype=np.int64), dls[sel], avgdl
+    )
+    lists = [(common, 0.05), (rare, 9.0)]
+    stats = {}
+    got = wand_topk(lists, 10, avgdl, stats=stats)
+    exp = brute_force_topk(lists, 10, avgdl)
+    assert got == exp
+    frac = stats["blocks_decoded"] / stats["blocks_total"]
+    assert frac < 0.15, f"WAND decoded {frac:.1%} of blocks - no skipping?"

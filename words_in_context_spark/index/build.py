@@ -251,6 +251,10 @@ def build_index(
         )
         (
             segments.repartition("bucket")
+            # sort by term within each bucket file: parquet row-group min/max
+            # statistics then prune term lookups inside a bucket, not just
+            # across buckets (query path pushes term equality to the scan)
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, "segments"))

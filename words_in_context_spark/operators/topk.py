@@ -33,7 +33,7 @@ class PostingCursor:
     """Sequential cursor over one term's encoded postings with block seek."""
 
     __slots__ = ("enc", "idf", "term_idx", "bi", "pos", "ids", "tfs", "dls",
-                 "n_blocks", "avgdl", "k1", "b", "global_ub")
+                 "n_blocks", "avgdl", "k1", "b", "global_ub", "blocks_decoded")
 
     def __init__(self, enc: EncodedPostings, idf: float, term_idx: int,
                  avgdl: float, k1: float, b: float):
@@ -48,6 +48,7 @@ class PostingCursor:
         self.ids = self.tfs = self.dls = None
         self.pos = 0
         self.global_ub = self.idf * float(enc.max_impact.max()) if self.n_blocks else 0.0
+        self.blocks_decoded = 0
         self._load_block(0)
 
     def _load_block(self, bi: int) -> None:
@@ -57,6 +58,7 @@ class PostingCursor:
             return
         self.bi = bi
         self.ids, self.tfs, self.dls = decode_block(self.enc, bi)
+        self.blocks_decoded += 1
         self.pos = 0
 
     @property
@@ -121,10 +123,12 @@ def wand_topk(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for the disjunctive BM25 query whose term
     posting lists and idfs are ``lists`` (canonical term order = list order).
-    Returns rows sorted by (score desc, doc_id asc)."""
+    Returns rows sorted by (score desc, doc_id asc). Pass ``stats={}`` to
+    receive skipping telemetry (blocks decoded vs total)."""
     cursors = [
         PostingCursor(enc, idf, i, avgdl, k1, b)
         for i, (enc, idf) in enumerate(lists)
@@ -202,6 +206,9 @@ def wand_topk(
 
     out = [(int(-neg), s) for (s, neg) in heap]
     out.sort(key=lambda t: (-t[1], t[0]))
+    if stats is not None:
+        stats["blocks_decoded"] = sum(c.blocks_decoded for c in cursors)
+        stats["blocks_total"] = sum(c.n_blocks for c in cursors)
     return out
 
 
