@@ -197,3 +197,41 @@ def test_snippet_lookup_j2(spark, docs_df, index_dir):
             if toks & set(terms):
                 hit_lines += 1
     assert hit_lines > 0
+
+
+def test_positional_store_matches_reference_wsid(spark, docs_df, pages, tmp_path_factory):
+    """with_positions=True writes the exact analog of the reference's wsid
+    posting lists: per (doc, term) the ordered cue indices with duplicates
+    (extract_words.py:222-228). Verified against the pure-Python tokenizer."""
+    from words_in_context_spark.index.query import load_index, occurrences
+    from words_in_context_spark.textparse import extract_and_tokenize
+
+    d = str(tmp_path_factory.mktemp("posidx") / "idx")
+    build_index(spark, docs_df, d, n_buckets=N_BUCKETS, n_salts=4,
+                with_positions=True)
+    h = load_index(d)
+    doc_map = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(os.path.join(d, "doc_map")).collect()
+    }
+
+    # ground truth wsid from the sequential tokenizer for 3 docs
+    terms = ["the", "storm", "whisper"]
+    expected = {}
+    for p in pages[:3]:
+        doc = extract_and_tokenize(p["text"], lang=p["lang"])
+        for t in doc.tokens:
+            if t.term in terms:
+                expected.setdefault((doc_map[p["url"]], t.term), []).append(
+                    t.line_id
+                )
+
+    got = {
+        (r["doc_id"], r["term"]): list(r["line_ids"])
+        for r in occurrences(
+            spark, h, [doc_map[p["url"]] for p in pages[:3]], terms
+        ).collect()
+    }
+    assert expected, "no ground-truth occurrences?"
+    for key, line_ids in expected.items():
+        assert got.get(key) == sorted(line_ids), key

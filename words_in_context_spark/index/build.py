@@ -181,6 +181,7 @@ def build_index(
     n_salts: int = 8,
     overwrite: bool = False,
     tokens: DataFrame | None = None,
+    with_positions: bool = False,
 ) -> BuildResult:
     """Build (or resume) the inverted index for ``docs`` at ``index_dir``.
 
@@ -188,6 +189,11 @@ def build_index(
     rebuilt (left-anti against the manifest, ST1); doc stats are rebuilt only
     when absent. Kill-and-rerun converges to the identical index
     (tested in tests/test_index_build.py).
+
+    ``with_positions=True`` additionally writes the positional store —
+    (doc_id, term, line_ids sorted-with-duplicates) — the exact analog of the
+    reference's ``wsid`` posting lists (extract_words.py:195-196,222-228),
+    bucketed like the segments for pruned occurrence lookups.
     """
     if overwrite:
         mf.clear(index_dir)
@@ -287,6 +293,26 @@ def build_index(
                         "tokenizer": "wics-v1",
                     },
                 },
+            )
+
+    if with_positions:
+        positions_path = os.path.join(index_dir, "positions")
+        if not _exists(positions_path):
+            doc_map = spark.read.parquet(doc_map_path)
+            (
+                tokenize(docs)
+                .groupBy("url", "term")
+                .agg(
+                    F.array_sort(F.collect_list("line_id")).alias("line_ids")
+                )
+                .join(doc_map.select("url", "doc_id"), "url")
+                .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
+                .select("bucket", "doc_id", "term", "line_ids")
+                .repartition("bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(positions_path)
             )
 
     mf.write_stats(

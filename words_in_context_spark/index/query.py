@@ -294,3 +294,23 @@ def brute_force_query_local(
     """Oracle twin of query_topk_local (decode-everything scorer)."""
     lists = _collect_lists(spark, h, terms)
     return brute_force_topk(lists, k, h.avgdl)
+
+
+def occurrences(
+    spark: SparkSession, h: IndexHandle, doc_ids: list[int], terms: list[str]
+) -> DataFrame:
+    """Positional lookup (the reference's ``word_occ_ids``,
+    extract_words.py:421): per (doc, term), the ordered line/cue indices of
+    every occurrence. Requires the index to have been built
+    ``with_positions=True``. Bucket-pruned scan, same layout as segments."""
+    path = os.path.join(h.index_dir, "positions")
+    buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
+    return (
+        spark.read.parquet(path)
+        .where(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(terms)
+            & F.col("doc_id").isin([int(d) for d in doc_ids])
+        )
+        .select("doc_id", "term", "line_ids")
+    )
