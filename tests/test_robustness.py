@@ -73,3 +73,49 @@ def test_wordscontext_on_doc_with_no_tokens(spark, weird_docs):
 
     rows = top_words_with_examples(weird_docs, "u://punct", k=5).collect()
     assert rows == []  # no tokens → empty ranking, no crash
+
+
+def test_selective_queries_on_realistic_corpus(spark, tmp_path):
+    """Long-tail corpus (tail_vocab): rare terms exist → queries mixing a
+    selective term with stopwords route through WAND and still match brute
+    force; tokenizer parity holds for tail docs too."""
+    from words_in_context_spark.corpus import generate_pages
+    from words_in_context_spark.index.build import build_index
+    from words_in_context_spark.index.query import (
+        brute_force_query_local,
+        load_index,
+        query_topk_local,
+    )
+    from words_in_context_spark.pyoracle import CorpusOracle
+
+    pages = generate_pages(60, seed=88, tail_vocab=3000)
+    docs = spark.createDataFrame(
+        [(p["url"], p["text"], p["lang"]) for p in pages],
+        "url string, text string, lang string",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, n_buckets=8, n_salts=4)
+    h = load_index(idx)
+
+    # find a genuinely rare tail term from the corpus itself
+    orc = CorpusOracle()
+    for p in pages:
+        orc.add(p["url"], p["text"], lang=p["lang"])
+    from collections import Counter
+
+    df_count = Counter()
+    for d in orc.docs.values():
+        for t in {tok.term for tok in d.tokens}:
+            df_count[t] += 1
+    rare = next(t for t, c in df_count.items() if t.startswith("tail") and c == 1)
+
+    q = [rare, "the", "of"]
+    got = query_topk_local(spark, h, q, k=5)
+    assert got == brute_force_query_local(spark, h, q, k=5)
+    # the doc containing the rare term must rank first (dominant idf)
+    doc_map = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(f"{idx}/doc_map").collect()
+    }
+    top_url = doc_map[got[0][0]]
+    assert rare in {t.term for t in orc.docs[top_url].tokens}

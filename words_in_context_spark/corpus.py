@@ -53,7 +53,7 @@ def _zipf_choice(rng: random.Random, vocab: list[str]) -> str:
     return vocab[max(idx, 0)]
 
 
-def _render_cue_text(rng: random.Random, lang: str) -> str:
+def _render_cue_text(rng: random.Random, lang: str, tail_vocab: int = 0) -> str:
     words = []
     n_words = rng.randint(3, 12)
     if rng.random() < 0.08:
@@ -62,6 +62,19 @@ def _render_cue_text(rng: random.Random, lang: str) -> str:
         words.append(rng.choice(_NAMES))
     for _ in range(n_words):
         words.append(_zipf_choice(rng, _VOCAB))
+    if tail_vocab and rng.random() < 0.3:
+        # Zipf-ish long tail: realistic selective terms (df ≪ N) so queries
+        # with rare terms exist — the regime where WAND skipping pays.
+        # Letters only: the tokenizer's alphabet normalization strips digits.
+        r = rng.random()
+        tid = int(tail_vocab ** r) - 1
+        suffix = []
+        while True:
+            suffix.append(chr(ord("a") + tid % 26))
+            tid //= 26
+            if tid == 0:
+                break
+        words.append("tail" + "".join(reversed(suffix)) + "x")
     if lang == "de" and rng.random() < 0.10:
         words.append(rng.choice(_DE_APOSTROPHES))
     if rng.random() < 0.07:
@@ -76,7 +89,8 @@ def _render_cue_text(rng: random.Random, lang: str) -> str:
     return sent
 
 
-def make_srt_text(rng: random.Random, lang: str, n_cues: int) -> str:
+def make_srt_text(rng: random.Random, lang: str, n_cues: int,
+                  tail_vocab: int = 0) -> str:
     """Render one SRT document (cue number, timestamp, 1-2 text lines)."""
     blocks = []
     t = 0
@@ -89,24 +103,27 @@ def make_srt_text(rng: random.Random, lang: str, n_cues: int) -> str:
             h, m = divmod(m, 60)
             return f"{h:02d}:{m:02d}:{s:02d},{ms_:03d}"
 
-        text = _render_cue_text(rng, lang)
+        text = _render_cue_text(rng, lang, tail_vocab)
         if rng.random() < 0.25:  # multi-line cue
-            text += "\n" + _render_cue_text(rng, lang)
+            text += "\n" + _render_cue_text(rng, lang, tail_vocab)
         blocks.append(f"{cue}\n{_ts(t)} --> {_ts(t2)}\n{text}\n")
         t = t2 + rng.randint(50, 500)
     return "\n".join(blocks)
 
 
 def generate_pages(
-    n_docs: int, seed: int = 42, min_cues: int = 20, max_cues: int = 80
+    n_docs: int, seed: int = 42, min_cues: int = 20, max_cues: int = 80,
+    tail_vocab: int = 0,
 ) -> list[dict]:
-    """Generate ``n_docs`` web-page rows (plain dicts, input_hint schema)."""
+    """Generate ``n_docs`` web-page rows (plain dicts, input_hint schema).
+    ``tail_vocab=V`` adds a V-term Zipf long tail (default 0: byte-identical
+    to the original corpus — existing fixtures/seeds unchanged)."""
     rows = []
     epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     for i in range(n_docs):
         rng = random.Random((seed << 20) ^ i)  # per-doc stream: order-free
         lang = rng.choice(_LANGS)
-        srt = make_srt_text(rng, lang, rng.randint(min_cues, max_cues))
+        srt = make_srt_text(rng, lang, rng.randint(min_cues, max_cues), tail_vocab)
         url = f"https://corpus.example/{lang}/doc-{i:08d}.srt"
         html = (
             "<!DOCTYPE html><html><head><title>doc-"
@@ -127,7 +144,8 @@ def generate_pages(
     return rows
 
 
-def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
+                    tail_vocab: int = 0):
     """Materialize the corpus as a Spark DataFrame.
 
     Generation is distributed AND Arrow-batched: ``spark.range`` provides the
@@ -147,7 +165,7 @@ def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None =
             for i in pdf["id"].tolist():
                 rng = random.Random((seed << 20) ^ i)
                 lang = rng.choice(_LANGS)
-                srt = make_srt_text(rng, lang, rng.randint(20, 80))
+                srt = make_srt_text(rng, lang, rng.randint(20, 80), tail_vocab)
                 html = (
                     "<!DOCTYPE html><html><head><title>doc-"
                     + str(i)
