@@ -143,3 +143,69 @@ def test_session_windows_stream(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 10
+
+
+def test_distributed_query_after_incremental_merge(spark, dirs):
+    """Regression: the incremental merge must keep blocks aligned to salt
+    ranges — a straddling block would be scored in TWO range groups by the
+    distributed query (duplicate/partial docs). Runs after
+    test_incremental_equals_batch has merged streamed docs into dirs['index']."""
+    from words_in_context_spark.index.query import (
+        load_index,
+        query_topk,
+        query_topk_local,
+    )
+
+    h = load_index(dirs["index"])
+    for terms in (["storm", "the"], ["whisper"], ["the", "window", "lantern"]):
+        local = query_topk_local(spark, h, terms, k=15)
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in query_topk(spark, h, terms, k=15).orderBy("rank").collect()
+        ]
+        assert dist == local, f"distributed drift after merge for {terms}"
+        assert len({d for d, _ in dist}) == len(dist), "duplicate doc in top-k"
+
+
+def test_replay_after_partial_crash_converges(spark, tmp_path):
+    """Regression: a micro-batch replay after a crash BETWEEN the segment
+    overwrite and the doc_map append must converge (idempotent merge), not
+    trip the strictly-increasing assert or double counts."""
+    import glob
+
+    from words_in_context_spark.corpus import generate_pages
+    from words_in_context_spark.index.build import build_index
+    from words_in_context_spark.index.query import _row_to_encoded, load_index
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pages = generate_pages(16, seed=91)
+    first, second = pages[:10], pages[10:]
+    idx = str(tmp_path / "idx")
+    build_index(spark, _pages_df(spark, first), idx, n_buckets=4, n_salts=4)
+
+    # snapshot doc_map parquet files (pre-merge)
+    pre_files = set(glob.glob(f"{idx}/doc_map/*.parquet"))
+
+    from words_in_context_spark.streaming.incremental import merge_docs_into_index
+
+    assert merge_docs_into_index(spark, _pages_df(spark, second), idx) == 6
+    snapshot = {}
+    seg = spark.read.parquet(f"{idx}/segments")
+    for rec in seg.collect():
+        ids, tfs, _ = decode_postings(_row_to_encoded(rec.asDict()))
+        snapshot[rec["term"]] = list(zip(ids.tolist(), tfs.tolist()))
+
+    # simulate the crash: segments are merged but the doc_map append is lost
+    for f in glob.glob(f"{idx}/doc_map/*.parquet"):
+        if f not in pre_files:
+            os.remove(f)
+
+    # replay the same micro-batch → must converge, not crash
+    n = merge_docs_into_index(spark, _pages_df(spark, second), idx)
+    assert n == 6  # anti-join no longer filters them (doc_map lost the rows)
+    seg2 = spark.read.parquet(f"{idx}/segments")
+    after = {}
+    for rec in seg2.collect():
+        ids, tfs, _ = decode_postings(_row_to_encoded(rec.asDict()))
+        after[rec["term"]] = list(zip(ids.tolist(), tfs.tolist()))
+    assert after == snapshot, "replay changed postings (not idempotent)"

@@ -119,7 +119,10 @@ def generate_pages(
     ``tail_vocab=V`` adds a V-term Zipf long tail (default 0: byte-identical
     to the original corpus — existing fixtures/seeds unchanged)."""
     rows = []
-    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    # naive timestamp, same as pages_dataframe's generator — both paths are
+    # interpreted under the engine's pinned-UTC session, and staying naive
+    # keeps them byte-identical regardless of caller timezone config
+    epoch = dt.datetime(2024, 1, 1)
     for i in range(n_docs):
         rng = random.Random((seed << 20) ^ i)  # per-doc stream: order-free
         lang = rng.choice(_LANGS)

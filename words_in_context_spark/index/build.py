@@ -66,6 +66,9 @@ def range_salt(doc_id_col, n_salts: int):
     Requires n_salts a power of two."""
     bits = int(n_salts).bit_length() - 1
     assert (1 << bits) == n_salts, "n_salts must be a power of two"
+    if n_salts == 1:
+        # shiftright by 64 is a mod-64 no-op on the JVM — everything is one range
+        return F.lit(0)
     return (
         F.shiftright(doc_id_col.cast("long"), 64 - bits) + (n_salts // 2)
     ).cast("int")

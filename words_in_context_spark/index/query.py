@@ -45,8 +45,14 @@ class IndexHandle:
     def __post_init__(self) -> None:
         # hot-postings cache for the interactive path: term → EncodedPostings
         # (None = term absent from the index). Real engines keep hot posting
-        # lists resident; this is the single-node analog.
+        # lists resident; this is the single-node analog. The cache reflects
+        # the index AS OF load_index()/invalidate() — call invalidate() (or
+        # re-load_index) after merge_docs_into_index touches this index.
         self._term_cache: dict[str, EncodedPostings | None] = {}
+
+    def invalidate(self) -> None:
+        """Drop cached postings (after an incremental merge of this index)."""
+        self._term_cache.clear()
 
     @property
     def segments_path(self) -> str:
@@ -179,7 +185,10 @@ def query_topk(
 
     # range boundaries = the build's salt ranges (signed int64 space)
     bits = n_salts.bit_length() - 1
-    lows = [((s - n_salts // 2) << (64 - bits)) for s in range(n_salts)]
+    if n_salts == 1:
+        lows = [-(1 << 63)]
+    else:
+        lows = [((s - n_salts // 2) << (64 - bits)) for s in range(n_salts)]
     bounds = lows[1:] + [1 << 63]
 
     df_by_term = {
@@ -281,8 +290,9 @@ def snippet_lookup(
     """J2 (gui.py:757-766): join ranked doc ids back to their source lines via
     the doc_map — the words-in-context example fetch."""
     doc_map = spark.read.parquet(h.doc_map_path)
+    # broadcast the k-row topk side, never the corpus-sized doc_map
     return (
-        topk.join(F.broadcast(doc_map), "doc_id")
+        F.broadcast(topk).join(doc_map, "doc_id")
         .join(lines, "url")
         .select("doc_id", "url", "rank", "score", "line_id", "line")
     )

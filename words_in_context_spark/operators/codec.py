@@ -253,3 +253,41 @@ def decode_postings_fast(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, 
     biased = csum - base
     ids = (biased - np.uint64(1 << 63)).astype(np.int64)
     return ids, tfs, dls
+
+
+def concat_encoded(runs: list[EncodedPostings]) -> EncodedPostings:
+    """Concatenate encoded runs over DISJOINT, ORDERED doc-id ranges without
+    decoding: blocks are self-contained (block-local deltas), so only the
+    byte offsets need rebasing. This preserves each run's block boundaries —
+    the property the distributed query's range slicing depends on."""
+    doc_bytes = b"".join(r.doc_bytes for r in runs)
+    tf_bytes = b"".join(r.tf_bytes for r in runs)
+    dl_bytes = b"".join(r.dl_bytes for r in runs)
+    first, last, n = [], [], []
+    doc_off, tf_off, dl_off, maxi = [], [], [], []
+    dbase = tbase = lbase = 0
+    for r in runs:
+        first.append(r.first_doc)
+        last.append(r.last_doc)
+        n.append(r.n)
+        doc_off.append(r.doc_off + dbase)
+        tf_off.append(r.tf_off + tbase)
+        dl_off.append(r.dl_off + lbase)
+        maxi.append(r.max_impact)
+        dbase += len(r.doc_bytes)
+        tbase += len(r.tf_bytes)
+        lbase += len(r.dl_bytes)
+    return EncodedPostings(
+        df=sum(r.df for r in runs),
+        cf=sum(r.cf for r in runs),
+        doc_bytes=doc_bytes,
+        tf_bytes=tf_bytes,
+        dl_bytes=dl_bytes,
+        first_doc=np.concatenate(first),
+        last_doc=np.concatenate(last),
+        n=np.concatenate(n),
+        doc_off=np.concatenate(doc_off),
+        tf_off=np.concatenate(tf_off),
+        dl_off=np.concatenate(dl_off),
+        max_impact=np.concatenate(maxi),
+    )

@@ -99,8 +99,10 @@ def _lines_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out = []
         for row in pdf.itertuples(index=False):
-            text = row.text
-            if text is None and hasattr(row, "html") and row.html is not None:
+            text = getattr(row, "text", None)
+            if not text and getattr(row, "html", None) is not None:
+                # same falsy-text fallback as _tokenize_batches: a doc the
+                # tokenizer indexes must also have snippet lines
                 text = bytes(row.html).decode("utf-8", errors="ignore")
             if not text:
                 continue

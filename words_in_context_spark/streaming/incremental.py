@@ -49,11 +49,28 @@ PAGES_SCHEMA = (
 )
 
 
-def _merge_with_existing(avgdl: float, n_buckets: int):
+def _merge_with_existing(avgdl: float, n_buckets: int, n_salts: int):
     """applyInPandas per term: decode existing segment row (if any) + new
-    encoded runs, concatenate, sort by doc_id, re-encode with frozen avgdl."""
+    encoded runs, concatenate, sort by doc_id, re-encode with frozen avgdl.
+
+    Two invariants maintained here:
+      * duplicate doc_ids are dropped (keep-first) — a replayed micro-batch
+        whose previous attempt crashed between the segment overwrite and the
+        doc_map append re-delivers identical postings; deduping makes the
+        merge idempotent instead of tripping the strictly-increasing assert;
+      * re-encoding is SALT-RANGE ALIGNED (each salt range encoded
+        separately, runs concatenated) so no block straddles a range
+        boundary — query_topk's distributed range slicing depends on it.
+    """
     from ..index.build import _py_bucket
     from ..index.query import _row_to_encoded
+    from ..operators.codec import concat_encoded
+
+    bits = n_salts.bit_length() - 1
+    boundaries = [
+        ((s - n_salts // 2) << (64 - bits)) if n_salts > 1 else -(1 << 63)
+        for s in range(1, n_salts)
+    ]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
@@ -68,7 +85,22 @@ def _merge_with_existing(avgdl: float, n_buckets: int):
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
         order = np.argsort(ids, kind="mergesort")
-        enc = encode_postings(ids[order], tfs[order], dls[order], avgdl)
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        keep = np.ones(ids.size, dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]  # idempotent replay: drop duplicates
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        # encode each salt range as its OWN run, then byte-concatenate —
+        # merge_encoded_runs would re-block globally and straddle ranges
+        cuts = np.searchsorted(ids, np.asarray(boundaries, dtype=np.int64))
+        runs = []
+        prev = 0
+        for c in list(cuts) + [ids.size]:
+            if c > prev:
+                runs.append(
+                    encode_postings(ids[prev:c], tfs[prev:c], dls[prev:c], avgdl)
+                )
+            prev = c
+        enc = concat_encoded(runs)
         return pd.DataFrame(
             [
                 {
@@ -135,6 +167,7 @@ def merge_docs_into_index(
         postings_in.withColumn("salt", range_salt(F.col("doc_id"), n_salts))
         .groupBy("term", "salt")
         .applyInPandas(_encode_run(avgdl), schema=_RUN_SCHEMA)
+        .persist()  # consumed by bucket collect, two joins, and the write
     )
 
     affected_buckets = [
@@ -157,7 +190,9 @@ def merge_docs_into_index(
     merged = (
         to_merge_old.unionByName(runs_as_segments, allowMissingColumns=False)
         .groupBy("term")
-        .applyInPandas(_merge_with_existing(avgdl, n_buckets), SEGMENT_SCHEMA)
+        .applyInPandas(
+            _merge_with_existing(avgdl, n_buckets, n_salts), SEGMENT_SCHEMA
+        )
     )
     out = untouched.unionByName(merged)
     out.repartition("bucket").write.mode("overwrite").partitionBy(
@@ -165,6 +200,26 @@ def merge_docs_into_index(
     ).parquet(seg_path)
 
     new_map.write.mode("append").parquet(doc_map_path)
+
+    # positional store (if present) is (doc_id, term, line_ids): new docs
+    # only ADD rows — append, no rewrite
+    positions_path = os.path.join(index_dir, "positions")
+    if os.path.exists(positions_path):
+        from ..index.build import bucket_expr as _bexpr
+        from ..operators.extract import tokenize as _tokenize
+
+        (
+            _tokenize(fresh)
+            .groupBy("url", "term")
+            .agg(F.array_sort(F.collect_list("line_id")).alias("line_ids"))
+            .join(new_map.select("url", "doc_id"), "url")
+            .withColumn("bucket", _bexpr(F.col("term"), n_buckets))
+            .select("bucket", "doc_id", "term", "line_ids")
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(positions_path)
+        )
 
     # refresh manifest metrics for affected buckets + stats
     seg = spark.read.parquet(seg_path)
@@ -195,6 +250,7 @@ def merge_docs_into_index(
     mf.write_stats(index_dir, stats)
     tf_new.unpersist()
     new_map.unpersist()
+    new_runs.unpersist()
     return int(n_new)
 
 
