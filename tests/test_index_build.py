@@ -235,3 +235,39 @@ def test_positional_store_matches_reference_wsid(spark, docs_df, pages, tmp_path
     assert expected, "no ground-truth occurrences?"
     for key, line_ids in expected.items():
         assert got.get(key) == sorted(line_ids), key
+
+
+def test_cooccurrence_topk(spark, docs_df, pages, tmp_path_factory):
+    """Same-line co-occurrence over the positional store matches a
+    brute-force count from the sequential tokenizer."""
+    from words_in_context_spark.index.query import cooccurrence_topk, load_index
+    from words_in_context_spark.textparse import extract_and_tokenize
+
+    d = str(tmp_path_factory.mktemp("cooc") / "idx")
+    build_index(spark, docs_df, d, n_buckets=N_BUCKETS, n_salts=4,
+                with_positions=True)
+    h = load_index(d)
+    doc_map = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(os.path.join(d, "doc_map")).collect()
+    }
+
+    terms = ["the", "storm"]
+    expected = {}
+    for p in pages:
+        doc = extract_and_tokenize(p["text"], lang=p["lang"])
+        lines_by_term = {}
+        for t in doc.tokens:
+            if t.term in terms:
+                lines_by_term.setdefault(t.term, set()).add(t.line_id)
+        if len(lines_by_term) == len(terms):
+            both = set.intersection(*lines_by_term.values())
+            if both:
+                expected[doc_map[p["url"]]] = sorted(both)
+
+    got = {
+        r["doc_id"]: list(r["line_ids"])
+        for r in cooccurrence_topk(spark, h, terms, k=100).collect()
+    }
+    assert got == expected
+    assert expected, "test corpus produced no co-occurrences?"

@@ -324,3 +324,42 @@ def occurrences(
         )
         .select("doc_id", "term", "line_ids")
     )
+
+
+def cooccurrence_topk(
+    spark: SparkSession, h: IndexHandle, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Same-line co-occurrence retrieval over the positional store: documents
+    ranked by the number of lines where ALL query terms appear together —
+    the index-backed form of the reference's words-in-context semantics
+    (terms sharing a cue). Requires ``with_positions=True`` at build time.
+
+    (doc_id, n_lines, line_ids, rank); ties by doc_id. Pure DataFrame ops:
+    pruned positional scan → explode line ids → per-(doc, line) distinct-term
+    count → filter count == |terms| → per-doc aggregation → top-k."""
+    terms = sorted(set(terms))
+    path = os.path.join(h.index_dir, "positions")
+    buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
+    occ = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("doc_id", "term", F.explode("line_ids").alias("line_id"))
+        .distinct()
+    )
+    lines_with_all = (
+        occ.groupBy("doc_id", "line_id")
+        .agg(F.countDistinct("term").alias("n_terms"))
+        .where(F.col("n_terms") == len(terms))
+    )
+    per_doc = lines_with_all.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.array_sort(F.collect_list("line_id")).alias("line_ids"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_lines"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "n_lines", "line_ids", "rank")
+    )
