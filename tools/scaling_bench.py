@@ -17,7 +17,8 @@ while JVM shuffle/IO threads and python workers would otherwise spill onto
 idle host cores and inflate the low-parallelism baseline.
 
 Each parallelism level runs in its own subprocess (a JVM can't change its
-master); results + the efficiency table are written to BENCH/BASELINE.md.
+master); results + the efficiency table are written to BENCH/scaling_latest.md
+(BENCH/BASELINE.md holds the curated multi-run summary).
 
     python tools/scaling_bench.py [n_docs]
 """
@@ -124,7 +125,9 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # write to a per-run file: BENCH/BASELINE.md is the curated summary of
+    # ALL samples and must not be clobbered by a single (noisy) run
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured engine numbers
 
