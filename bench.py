@@ -53,14 +53,30 @@ def main() -> None:
     spark = get_spark(cores=cpus, app_name="wics-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM codegen, Arrow/pandas-UDF worker pool, parquet footer reads —
-    # so the first measured query isn't charged for session bring-up
-    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    import pandas as _pd
+    # warmup: JVM codegen, Arrow/pandas-UDF worker pool, parquet footer reads,
+    # broadcast/window/agg codegen paths — so the first measured query isn't
+    # charged for session bring-up
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.range(10_000).mapInPandas(
         lambda it: (pdf.assign(x=pdf["id"]) for pdf in it), "id long, x long"
     ).write.mode("overwrite").format("noop").save()
+    _w = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    _d = spark.range(100).withColumnRenamed("id", "k")
+    (
+        _w.join(F.broadcast(_d), "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy(F.desc("s"))),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

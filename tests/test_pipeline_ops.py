@@ -91,6 +91,58 @@ def test_lsh_ann_recall(spark):
             assert abs(r["cos"] - bs[key]) < 1e-9
 
 
+def test_near_dup_lsh_matches_exact_on_perturbed_corpus(spark):
+    """The LSH-bucketed near-dup path (banded sketch self-join → exact
+    re-rank) must reproduce the exact all-pairs result on the perturbed
+    embedding corpus — the candidate stage may only ever drop pairs BELOW
+    threshold, never true near-dups at cos ≥ 0.98."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    base = emb.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("embedding")
+    )
+    arr = F.col("embedding")
+    perturbed = base.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(arr, 1) + 0.05), F.slice(arr, 2, 1_000_000)
+        ).alias("embedding"),
+    )
+    both = base.unionByName(perturbed)
+    exact = {
+        (r["a"], r["b"], r["cos"])
+        for r in similarity.near_dup_pairs(both, threshold=0.98).collect()
+    }
+    lsh = {
+        (r["a"], r["b"], r["cos"])
+        for r in similarity.near_dup_pairs_lsh(
+            both, dim=64, threshold=0.98
+        ).collect()
+    }
+    assert exact, "perturbed corpus must contain near-dups"
+    assert lsh == exact
+
+
+def test_jaccard_candidates_path_matches_selfjoin_on_candidates(spark, docs_with_dups):
+    """jaccard_pairs(candidates=...) computes intersections only over the
+    candidate pairs; on the LSH candidate set it must equal the self-join
+    form restricted to those same pairs."""
+    sh = dedup.shingles(docs_with_dups).cache()
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+    via_cand = {
+        (r["a"], r["b"]): (r["inter"], r["union_size"], r["jaccard"])
+        for r in dedup.jaccard_pairs(sh, candidates=cand).collect()
+    }
+    cand_set = {(r["a"], r["b"]) for r in cand.collect()}
+    via_self = {
+        (r["a"], r["b"]): (r["inter"], r["union_size"], r["jaccard"])
+        for r in dedup.jaccard_pairs(sh, candidates=None).collect()
+        if (r["a"], r["b"]) in cand_set
+    }
+    assert via_cand == via_self and via_cand
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(20)
     media = multimodal.wrap_binary(docs, "doc_id", "text", "video")

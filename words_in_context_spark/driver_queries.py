@@ -57,6 +57,33 @@ def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tf_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf, doc_len) with doc_len computed MAP-SIDE as the
+    non-empty token count of the document — the same trick the engine's
+    tokenize_tf UDF uses (operators/extract.py): the doc-length join stage
+    disappears entirely; doc_len rides along through the tf aggregation.
+
+    doc_len is zipped INTO the generator output (arrays_zip) rather than
+    projected alongside the explode: a sibling projection gets pulled above
+    the Generate by Catalyst and re-evaluates size(filter(split(text))) per
+    TOKEN row — O(doc_len²) per document (measured 6× slower at sf0.1)."""
+    docs = _read(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != ""
+    )
+    z = F.explode(F.arrays_zip(arr, F.array_repeat(F.size(arr), F.size(arr))))
+    return (
+        docs.select("doc_id", z.alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.0").alias("term"),
+            F.col("z.1").alias("doc_len"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+
+
 _TF_SQL = f"""
   WITH toks AS ({_TOKS_SQL})
   SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
@@ -94,25 +121,31 @@ def q_term_df(spark, sf_dir):
 def q_tfidf_topk(spark, sf_dir):
     """Flagship (M1): per-document TF-IDF top-10 terms, reference scoring
     ``tf/doc_len * ln(N/df)`` (extract_words.py:418-428) with pinned
-    tie-break. Broadcast join for the term-df dimension (J1)."""
+    tie-break. Broadcast join for the term-df dimension (J1).
+
+    The ranking key is round(score, 6) (stable given the discrete term
+    tie-break), but the COMPARED score column is round(score, 4): JVM and
+    DuckDB ``ln`` differ in the last ulp, so a 6dp boundary score flips
+    between engines — the same recipe q_bm25_topk uses. tf is persisted so
+    the corpus is tokenized once, not once per derived aggregate; doc_len is
+    computed map-side in the tokenize stage (_tf_dl), so there is no
+    doc-length aggregate or join at all."""
     docs = _read(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = _tf(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    tf = _tf_dl(spark, sf_dir).persist()
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfq), "term")
-        .withColumn(
-            "score",
-            F.round(
-                (F.col("tf") / F.col("doc_len"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
-                6,
-            ),
-        )
+    raw = (F.col("tf") / F.col("doc_len")) * F.log(
+        F.lit(float(n_docs)) / F.col("df")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        # rank key: 6dp; compared column: 4dp of the RAW score (never
+        # round-of-round — a 6dp value ending in '50' is an exact 4dp tie
+        # that Spark HALF_UP and DuckDB C-double rounding resolve differently)
+        .withColumn("score6", F.round(raw, 6))
+        .withColumn("score", F.round(raw, 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score6"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
@@ -125,9 +158,13 @@ def q_bm25_topk(spark, sf_dir):
     for a fixed 3-term query; idf = ln(1+(N-df+0.5)/(df+0.5))."""
     docs = _read(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = _tf(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    avgdl = dl.agg(F.avg("doc_len")).collect()[0][0]
+    tf = _tf_dl(spark, sf_dir).persist()
+    avgdl = (
+        tf.groupBy("doc_id")
+        .agg(F.first("doc_len").alias("doc_len"))
+        .agg(F.avg("doc_len"))
+        .collect()[0][0]
+    )
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qterms = spark.createDataFrame(
         [(t,) for t in BM25_QUERY_TERMS], "term string"
@@ -135,7 +172,6 @@ def q_bm25_topk(spark, sf_dir):
     contrib = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .withColumn(
             "idf",
             F.log(
@@ -156,13 +192,17 @@ def q_bm25_topk(spark, sf_dir):
         )
     )
     scores = contrib.groupBy("doc_id").agg(
-        F.round(F.sum("part"), 6).alias("score")
+        F.round(F.sum("part"), 6).alias("score6"),
+        F.round(F.sum("part"), 4).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # TakeOrderedAndProject (k-row global top-k), THEN rank the 20 collected
+    # rows — never a global Window sort over the full candidate set
+    # (index/query.py does the same in the segment path).
+    top = scores.orderBy(F.desc("score6"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score6"), F.asc("doc_id"))
     return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("doc_id", F.round("score", 4).alias("score"), "rank")
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "rank")
     )
 
 
@@ -302,7 +342,9 @@ def q_lang_distribution(spark, sf_dir):
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            # explicit BIGINT on both sides: DuckDB sum(int) is HUGEINT,
+            # and the driver hash is computed over the stringified type
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
 
@@ -347,12 +389,14 @@ ORACLE_SQL: dict[str, str] = {
         scored AS (
           SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len, dfq.df,
                  round((tf.tf / CAST(dl.doc_len AS DOUBLE))
-                       * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS score
+                       * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS score6,
+                 round((tf.tf / CAST(dl.doc_len AS DOUBLE))
+                       * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4) AS score
           FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
         ),
         ranked AS (
           SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+            PARTITION BY doc_id ORDER BY score6 DESC, term ASC) AS rank
           FROM scored
         )
         SELECT doc_id, term, tf, doc_len, df, score, rank
@@ -375,14 +419,16 @@ ORACLE_SQL: dict[str, str] = {
                JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN stats
         ),
         scores AS (
-          SELECT doc_id, round(sum(part), 6) AS score FROM contrib GROUP BY doc_id
+          SELECT doc_id, round(sum(part), 6) AS score6,
+                 round(sum(part), 4) AS score
+          FROM contrib GROUP BY doc_id
         ),
         ranked AS (
           SELECT doc_id, score,
-                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+                 row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rank
           FROM scores
         )
-        SELECT doc_id, round(score, 4) AS score, rank FROM ranked WHERE rank <= 20
+        SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
     """,
     "postings": f"""
         WITH tf AS ({_TF_SQL})
@@ -452,7 +498,8 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "lang_distribution": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
 }

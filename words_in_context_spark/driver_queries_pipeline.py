@@ -51,6 +51,24 @@ _DUPS_SQL = """
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))"
 
+
+def _planes_values_sql(dim: int, n_planes: int, seed: int = 13) -> str:
+    """The seeded LSH hyperplanes as a DuckDB VALUES list — the planes are a
+    deterministic function of (dim, n_planes, seed), so inlining them makes
+    the LSH candidate generation exactly SQL-expressible (repr(float) round-
+    trips to the identical double in both engines)."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    rows = ",\n            ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(p, plane))"
+
+
+_EMB_DIM = 64  # all testdata sf dirs ship 64-d embeddings
+
 # shingles CTE (word 3-grams, distinct per doc) — twin of dedup.shingles
 _SHINGLES_SQL = f"""
   WITH dd AS ({_DUPS_SQL}),
@@ -99,9 +117,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_jaccard_dedup(spark, sf_dir):
-    """Exact n-gram Jaccard ≥ 0.5 over shared-shingle candidate pairs."""
+    """Exact n-gram Jaccard ≥ 0.5, verified over LSH candidate pairs (the
+    scale path: a hot shingle never creates a quadratic pair space — only
+    banded-signature bucket collisions are verified)."""
     sh = dedup.shingles(_docs_with_dups(spark, sf_dir))
-    return dedup.jaccard_pairs(sh)
+    sig = dedup.minhash_signatures(sh)
+    return dedup.jaccard_pairs(sh, candidates=dedup.lsh_candidate_pairs(sig))
 
 
 def q_simhash(spark, sf_dir):
@@ -124,9 +145,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path) — no SQL oracle (seeded hyperplanes);
-    driver records rows-only. Recall is measured against the brute-force
-    twin in tests/test_pipeline_ops.py."""
+    """LSH-bucketed ANN (scale path). The seeded hyperplanes are inlined
+    into the DuckDB oracle as literals, so the band-bucket candidate join +
+    exact re-rank is compared exactly. Recall vs the brute-force twin is
+    additionally pinned in tests/test_pipeline_ops.py."""
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -152,11 +174,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Exact embedding-cosine near-duplicate pairs (cos ≥ 0.98). The random
-    test embeddings are near-orthogonal (max pairwise cos ≈ 0.44), so docs
-    vec_id < 20 are re-emitted at vec_id+100000 with a small deterministic
-    perturbation (first component +0.05) — genuine near-dups, constructed
-    identically in the oracle."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.98) via the LSH scale
+    path: banded-sketch bucket self-join → exact re-rank — never all-pairs.
+    The oracle replicates the candidate generation with the hyperplanes
+    inlined as literals; LSH==exact equality on this corpus is pinned in
+    tests/test_pipeline_ops.py. The random test embeddings are
+    near-orthogonal (max pairwise cos ≈ 0.44), so docs vec_id < 20 are
+    re-emitted at vec_id+100000 with a small deterministic perturbation
+    (first component +0.05) — genuine near-dups, constructed identically in
+    the oracle."""
     emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     base = emb.select(
         "vec_id", similarity.as_double(F.col("embedding")).alias("embedding")
@@ -168,7 +194,9 @@ def q_embedding_near_dups(spark, sf_dir):
             F.array(F.element_at(arr, 1) + 0.05), F.slice(arr, 2, 1_000_000)
         ).alias("embedding"),
     )
-    return similarity.near_dup_pairs(base.unionByName(perturbed), threshold=0.98)
+    return similarity.near_dup_pairs_lsh(
+        base.unionByName(perturbed), dim=_EMB_DIM, threshold=0.98
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -224,9 +252,12 @@ def q_sessionize(spark, sf_dir):
             Window.partitionBy("user_id").orderBy("ts", "event_id")
         ),
     )
+    # round value per event BEFORE summing (both engines): the true sum is
+    # then a multiple of 0.01, so the outer 2dp round never lands on a .005
+    # boundary where JVM/DuckDB summation order could disagree
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.round("value", 2)), 2).alias("sum_value"),
     )
 
 
@@ -284,6 +315,22 @@ ORACLE_SQL = {
     """,
     "jaccard_dedup": f"""
         WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+          SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
+          FROM sh CROSS JOIN (SELECT unnest(range(12)) AS h)
+          GROUP BY doc_id, h
+        ),
+        banded AS (
+          SELECT doc_id, (h // 2) AS band,
+                 md5(string_agg(h || ':' || minhash, ','
+                     ORDER BY h || ':' || minhash)) AS bucket
+          FROM sig GROUP BY doc_id, (h // 2)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
@@ -294,6 +341,7 @@ ORACLE_SQL = {
                sa.sz + sb.sz - inter AS union_size,
                round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
         FROM inter
+        JOIN cand USING (a, b)
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b
         WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
@@ -339,8 +387,46 @@ ORACLE_SQL = {
         )
         SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
     """,
-    "embedding_near_dups": """
-        WITH base AS (
+    "ann_lsh_topk": f"""
+        WITH planes AS {_planes_values_sql(_EMB_DIM, 12)},
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id >= 5),
+        q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5),
+        vsk AS (
+          SELECT vec_id, string_agg(CASE WHEN list_inner_product(v, plane) >= 0
+                 THEN '1' ELSE '0' END, '' ORDER BY p) AS sketch
+          FROM v CROSS JOIN planes GROUP BY vec_id
+        ),
+        qsk AS (
+          SELECT q_id, string_agg(CASE WHEN list_inner_product(qv, plane) >= 0
+                 THEN '1' ELSE '0' END, '' ORDER BY p) AS sketch
+          FROM q CROSS JOIN planes GROUP BY q_id
+        ),
+        vband AS (
+          SELECT vec_id, b, substr(sketch, b * 4 + 1, 4) AS bucket
+          FROM vsk CROSS JOIN (SELECT unnest(range(3)) AS b)
+        ),
+        qband AS (
+          SELECT q_id, b, substr(sketch, b * 4 + 1, 4) AS bucket
+          FROM qsk CROSS JOIN (SELECT unnest(range(3)) AS b)
+        ),
+        cand AS (SELECT DISTINCT q_id, vec_id FROM vband JOIN qband USING (b, bucket)),
+        scored AS (
+          SELECT c.q_id, c.vec_id,
+                 round(list_cosine_similarity(v.v, q.qv), 6) AS cos
+          FROM cand c JOIN v USING (vec_id) JOIN q USING (q_id)
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cos, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+    """,
+    "embedding_near_dups": f"""
+        WITH planes AS {_planes_values_sql(_EMB_DIM, 16)},
+        base AS (
           SELECT vec_id, embedding::DOUBLE[] AS embedding
           FROM embeddings WHERE vec_id < 200
         ),
@@ -351,11 +437,27 @@ ORACLE_SQL = {
                  list_prepend(embedding[1] + 0.05,
                               embedding[2:len(embedding)]) AS embedding
           FROM base WHERE vec_id < 20
+        ),
+        sk AS (
+          SELECT vec_id, string_agg(CASE WHEN list_inner_product(embedding, plane) >= 0
+                 THEN '1' ELSE '0' END, '' ORDER BY p) AS sketch
+          FROM ee CROSS JOIN planes GROUP BY vec_id
+        ),
+        band AS (
+          SELECT vec_id, b, substr(sketch, b * 4 + 1, 4) AS bucket
+          FROM sk CROSS JOIN (SELECT unnest(range(4)) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM band l JOIN band r USING (b, bucket)
+          WHERE l.vec_id < r.vec_id
         )
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
-        FROM ee a JOIN ee b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.98
+        SELECT c.a, c.b,
+               round(list_cosine_similarity(ea.embedding, eb.embedding), 6) AS cos
+        FROM cand c
+        JOIN ee ea ON ea.vec_id = c.a
+        JOIN ee eb ON eb.vec_id = c.b
+        WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 6) >= 0.98
     """,
     "lang_id": f"""
         WITH toks AS (
@@ -465,7 +567,7 @@ ORACLE_SQL = {
           FROM gaps
         )
         SELECT user_id, session_id, count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               round(sum(round(value, 2)), 2) AS sum_value
         FROM sess GROUP BY user_id, session_id
     """,
 }

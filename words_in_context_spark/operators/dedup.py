@@ -122,18 +122,30 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs: (a, b, inter, union_size,
-    jaccard). Candidates default to docs sharing ≥1 shingle."""
+    jaccard). With ``candidates`` (e.g. lsh_candidate_pairs — the scale
+    path), the intersection is computed by expanding each candidate pair
+    with a-side shingles and probing the b-side on (b, shingle): work is
+    O(|candidates| × shingles-per-doc), never the shared-shingle self-join
+    whose hot shingles ("one of the") create a quadratic, skewed pair space.
+    Without candidates (small-scale exact form / oracle twin) it falls back
+    to that self-join."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        inter = (
+            candidates.join(a, "a")
+            .join(b, ["b", "shingle"], "left_semi")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")

@@ -171,6 +171,53 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    band_size: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Scale path for embedding-cosine near-duplicates: candidate pairs share
+    ≥1 LSH band (bucketed self-join — the pair space is per-bucket, never
+    n²), then exact cosine re-rank + threshold. Same output schema as
+    near_dup_pairs, whose all-pairs form is the exact oracle twin.
+
+    Defaults (16 planes, 4-bit bands → 4 bands) give a miss probability of
+    ~1e-3 per true pair at cos ≥ 0.95 — tighten bands/planes per threshold."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sk = lsh_sketch(vectors, planes, id_col, vec_col)
+    n_bands = n_planes // band_size
+    banded = sk.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.substring(
+            "sketch",
+            F.col("band") * band_size + 1,
+            band_size,
+        ).alias("bucket"),
+    )
+    cand = (
+        banded.select(F.col(id_col).alias("a"), "band", "bucket")
+        .join(banded.select(F.col(id_col).alias("b"), "band", "bucket"),
+              ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    return (
+        cand.join(v.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a")
+        .join(v.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed-cell re-rank —
 # the second scale path (LSH above). At 10^9+ vectors the cell assignment is

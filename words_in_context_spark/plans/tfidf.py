@@ -58,6 +58,7 @@ def doc_word_scores(
     name_filtering: bool = False,
     deprioritize_sound_desc: bool = False,
     n_docs: int | None = None,
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Ranked (url, term, tf, doc_len, df, score, rank) for EVERY document at
     once — the reference computes one document per call; the engine computes
@@ -66,7 +67,13 @@ def doc_word_scores(
     ``n_docs`` (corpus cardinality N in the IDF) is taken from the caller when
     known (e.g. recorded in the index manifest); otherwise counted from the
     small doc_len aggregate — note this counts documents with ≥1 token, which
-    matches the reference corpus of analyzed files."""
+    matches the reference corpus of analyzed files.
+
+    ``broadcast_df``: the df table is |vocab|-sized — a few GB even at web
+    scale — so the caller-controlled default is a broadcast hint; Spark
+    ignores an oversized hint and AQE can still convert either way. (The
+    caller knows |vocab|; probing plan statistics here was version-fragile
+    and always absent on plain parquet.)"""
     td = with_likely_name(term_doc_stats(tokens))
 
     doc_len = td.groupBy("url").agg(F.sum("tf").alias("doc_len"))
@@ -76,7 +83,7 @@ def doc_word_scores(
 
     scored = (
         td.join(doc_len, "url")
-        .join(F.broadcast(df_tbl) if _small(df_tbl) else df_tbl, "term")
+        .join(F.broadcast(df_tbl) if broadcast_df else df_tbl, "term")
         .withColumn(
             "score",
             (F.col("tf") / F.col("doc_len"))
@@ -112,17 +119,3 @@ def doc_word_scores(
 def top_k_terms(tokens: DataFrame, k: int = 20, **flags) -> DataFrame:
     """Top-k ranked terms per document."""
     return doc_word_scores(tokens, **flags).where(F.col("rank") <= k)
-
-
-def _small(df: DataFrame, threshold_rows: int = 2_000_000) -> bool:
-    """Heuristic broadcast gate. Local tests: always true. At cluster scale
-    the caller passes the decision explicitly or trusts AQE's size-based
-    broadcast conversion; counting here would double-execute, so we only
-    peek at the logical plan's row estimate when statistics exist."""
-    try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return stats.rowCount().isDefined() and (
-            stats.rowCount().get() <= threshold_rows
-        )
-    except Exception:
-        return False
