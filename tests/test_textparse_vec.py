@@ -12,15 +12,15 @@ from words_in_context_spark.textparse import extract_and_tokenize
 from words_in_context_spark.textparse_vec import tokenize_batch
 
 
-def _assert_equal_tokens(urls, texts, langs):
-    vec = tokenize_batch(urls, texts, langs)
+def _assert_equal_tokens(urls, texts, langs, lemmatizer=None):
+    vec = tokenize_batch(urls, texts, langs, lemmatizer=lemmatizer)
     got = {
         di: list(g[["line_id", "pos", "term", "is_namecase", "in_sound_desc"]]
                  .itertuples(index=False, name=None))
         for di, g in vec.sort_values(["doc_idx", "tok_idx"]).groupby("doc_idx")
     }
     for di, (text, lang) in enumerate(zip(texts, langs)):
-        seq = extract_and_tokenize(text or "", lang=lang)
+        seq = extract_and_tokenize(text or "", lang=lang, lemmatizer=lemmatizer)
         expected = [
             (t.line_id, t.pos, t.term, t.is_namecase, t.in_sound_desc)
             for t in seq.tokens
@@ -84,6 +84,24 @@ def test_random_docs_parity(docs):
     langs = [lang for _, lang in docs]
     urls = [f"d{i}" for i in range(len(docs))]
     _assert_equal_tokens(urls, texts, langs)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data"), reason="reference corpus absent"
+)
+def test_reference_corpus_parity_lemma_mode():
+    """Vectorized == sequential also under the built-in English lemmatizer
+    (the T1 seam) on the real corpus."""
+    from words_in_context_spark.lemma import english_lemma
+
+    files = sorted(glob.glob("/root/reference/data/*.srt"))[:4]
+    texts, urls = [], []
+    for f in files:
+        with open(f, encoding="utf-8", errors="ignore") as fh:
+            texts.append(fh.read())
+        urls.append(os.path.basename(f))
+    langs = ["de" if "faust" in u else "en" for u in urls]
+    _assert_equal_tokens(urls, texts, langs, lemmatizer=english_lemma)
 
 
 def test_edge_cases_parity():

@@ -231,6 +231,39 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+_HTML_PREFIX = (
+    '<html><head><title>Doc </title>'
+    '<script type="text/javascript">var x = 1; console.log("never index");'
+    "</script><style>.c { color: red }</style></head><body>"
+    "<!-- hidden comment --><h1 class=\"t\">Heading</h1><p>"
+)
+_HTML_SUFFIX = (
+    "</p><ul><li>alpha &amp; beta</li>"
+    "<li>&quot;quoted&quot; &lt;escaped&gt; caf&#39;e&nbsp;end</li></ul>"
+    "</body></html>"
+)
+
+
+def q_html_extract(spark, sf_dir):
+    """S-row generalization (extract_words.py:26,142-143 → whole pages):
+    wrap each document's text into a deterministic HTML page (script, style,
+    comment, entities, nested tags), then extract the visible text with the
+    JVM regexp chain (functions/html.py) — the identical RE2-safe chain runs
+    in the DuckDB oracle. The Arrow-UDF path (textparse.html_to_text) is
+    parity-tested against this chain in tests/test_textparse.py."""
+    from .functions.html import html_visible_text_normalized
+
+    docs = _read(spark, sf_dir, "documents")
+    page = F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX))
+    vis = html_visible_text_normalized(page)
+    toks = F.filter(F.split(F.lower(vis), "[^a-z]+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.md5(vis).alias("digest"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: lag-gap > 30 min starts a new session; session ids
     are per-user cumulative sums (streaming session_window's batch twin)."""
@@ -268,6 +301,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_dedup": q_jaccard_dedup,
     "simhash": q_simhash,
+    "html_extract": q_html_extract,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -281,6 +315,24 @@ QUERIES = {
 }
 
 _MARKERS_EN = "'the','and','of','to','is','you','that','it'"
+
+
+def _markers_cte() -> str:
+    """Marker lists as a DuckDB CTE body, generated from the SAME dict the
+    Spark operator uses (operators/textquality.LANG_MARKERS) so the two can
+    never drift."""
+    from .operators.textquality import LANG_MARKERS
+
+    parts = [
+        f"SELECT '{lang}' AS lang, "
+        f"unnest([{', '.join(_sql_quote(m) for m in markers)}]) AS term"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    return "\n          UNION ALL ".join(parts)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
 
 ORACLE_SQL = {
     "dedup_exact": f"""
@@ -369,6 +421,8 @@ ORACLE_SQL = {
                  AS simhash
         FROM votes GROUP BY doc_id
     """,
+    # "html_extract" is assigned below the dict — built programmatically from
+    # the functions/html.py pattern constants so Spark and DuckDB share them.
     "ann_cosine_topk": """
         WITH q AS (
           SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -466,11 +520,8 @@ ORACLE_SQL = {
                         '[^a-z]+', ' ', 'g')), ' ')) AS term
           FROM documents
         ),
-        markers(lang, term) AS (
-          SELECT 'en', unnest([{_MARKERS_EN}])
-          UNION ALL SELECT 'de', unnest(['der','die','das','und','ist','nicht','ich','ein'])
-          UNION ALL SELECT 'es', unnest(['el','la','de','que','y','los','es','un'])
-          UNION ALL SELECT 'fr', unnest(['le','la','de','et','les','des','un','est'])
+        markers AS (
+          {_markers_cte()}
         ),
         votes AS (
           SELECT t.doc_id, m.lang, count(*) AS votes
@@ -571,3 +622,37 @@ ORACLE_SQL = {
         FROM sess GROUP BY user_id, session_id
     """,
 }
+
+
+def _html_extract_sql() -> str:
+    """DuckDB twin of q_html_extract built from the SAME pattern constants
+    as functions/html.py (RE2-safe: inline (?is) flags, no backreferences,
+    no engine-specific option letters beyond 'g')."""
+    from .functions.html import (
+        ANY_TAG_PAT,
+        BLOCK_TAG_PAT,
+        COMMENT_PAT,
+        ENTITIES,
+        SCRIPT_PAT,
+        STYLE_PAT,
+    )
+
+    vis = f"concat({_sql_quote(_HTML_PREFIX)}, text, {_sql_quote(_HTML_SUFFIX)})"
+    vis = f"regexp_replace({vis}, {_sql_quote('(?s)' + COMMENT_PAT)}, ' ', 'g')"
+    vis = f"regexp_replace({vis}, {_sql_quote('(?is)' + SCRIPT_PAT)}, ' ', 'g')"
+    vis = f"regexp_replace({vis}, {_sql_quote('(?is)' + STYLE_PAT)}, ' ', 'g')"
+    vis = f"regexp_replace({vis}, {_sql_quote('(?i)' + BLOCK_TAG_PAT)}, chr(10), 'g')"
+    vis = f"regexp_replace({vis}, {_sql_quote(ANY_TAG_PAT)}, ' ', 'g')"
+    for ent, rep in ENTITIES:
+        vis = f"replace({vis}, {_sql_quote(ent)}, {_sql_quote(rep)})"
+    vis = f"trim(regexp_replace({vis}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH v AS (SELECT doc_id, {vis} AS vis FROM documents)
+        SELECT doc_id, md5(vis) AS digest,
+               len(list_filter(regexp_split_to_array(lower(vis), '[^a-z]+'),
+                               w -> w <> '')) AS n_tokens
+        FROM v
+    """
+
+
+ORACLE_SQL["html_extract"] = _html_extract_sql()

@@ -1,0 +1,167 @@
+"""Pluggable lemmatizer seam + a small pure-Python English lemmatizer.
+
+The reference lemmatizes every token with spaCy (extract_words.py:207-211,
+283-291), which is model-version-dependent and not installable in this
+environment. The engine therefore exposes a *seam*: any ``str -> str``
+callable over lowercase alpha words can be plugged into the tokenizer
+(``textparse.tokenize_lines`` / ``textparse_vec.tokenize_batch`` /
+``operators.extract.tokenize*``). On a cluster image that ships spaCy, wrap
+``lambda w: nlp(w)[0].lemma_`` (memoized) and pass it through the same seam.
+
+``english_lemma`` is the built-in deterministic option: an irregular-form
+table (common verbs/nouns) plus conservative inflection rules for plural
+``-s/-es/-ies``, past ``-ed`` and progressive ``-ing`` — Porter-style
+double-consonant and cvc handling so ``stopped→stop`` but ``hoped→hope``,
+with a noun exception list so ``thing``/``during`` survive. It narrows the
+surface-form gap (go/went/goes collapse) without any dependency; it is NOT
+spaCy and is off by default so default-mode results stay those of the frozen
+fixtures.
+
+Applied per normalized PART (after alphabet-normalization/compound split),
+once per unique token in the vectorized path (Zipf: vocabulary ≪ tokens).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+Lemmatizer = Callable[[str], str]
+
+# Irregular inflections → lemma (public common knowledge; intersection of any
+# standard English irregular-verb/noun table).
+IRREGULAR: dict[str, str] = {
+    # be / have / do / modals-adjacent
+    "am": "be", "is": "be", "are": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be",
+    "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do",
+    # high-frequency irregular verbs (past / participle → base)
+    "went": "go", "gone": "go", "goes": "go",
+    "said": "say", "made": "make", "took": "take", "taken": "take",
+    "came": "come", "saw": "see", "seen": "see", "knew": "know",
+    "known": "know", "got": "get", "gotten": "get", "gave": "give",
+    "given": "give", "found": "find", "thought": "think", "told": "tell",
+    "became": "become", "left": "leave", "felt": "feel", "brought": "bring",
+    "began": "begin", "begun": "begin", "kept": "keep", "held": "hold",
+    "wrote": "write", "written": "write", "stood": "stand", "heard": "hear",
+    "meant": "mean", "met": "meet", "ran": "run", "paid": "pay",
+    "sat": "sit", "spoke": "speak", "spoken": "speak", "led": "lead",
+    "grew": "grow", "grown": "grow", "lost": "lose", "fell": "fall",
+    "fallen": "fall", "sent": "send", "built": "build", "drew": "draw",
+    "drawn": "draw", "broke": "break", "broken": "break", "spent": "spend",
+    "rose": "rise", "risen": "rise", "drove": "drive", "driven": "drive",
+    "bought": "buy", "wore": "wear", "worn": "wear", "chose": "choose",
+    "chosen": "choose", "ate": "eat", "eaten": "eat", "flew": "fly",
+    "flown": "fly", "threw": "throw", "thrown": "throw", "caught": "catch",
+    "slept": "sleep", "won": "win", "sang": "sing", "sung": "sing",
+    "drank": "drink", "drunk": "drink", "swam": "swim", "swum": "swim",
+    "forgot": "forget", "forgotten": "forget", "understood": "understand",
+    "woke": "wake", "woken": "wake", "shook": "shake", "shaken": "shake",
+    "stole": "steal", "stolen": "steal",
+    "struck": "strike", "sworn": "swear", "swore": "swear",
+    "taught": "teach", "tore": "tear", "torn": "tear",
+    "dying": "die", "lying": "lie", "tying": "tie",
+    # irregular noun plurals
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "teeth": "tooth", "mice": "mouse", "geese": "goose", "wives": "wife",
+    "knives": "knife", "lives": "life", "wolves": "wolf", "selves": "self",
+    "leaves": "leaf", "halves": "half", "shelves": "shelf",
+    # -oes / -ies plurals the rules can't see through
+    "shoes": "shoe", "toes": "toe", "movies": "movie",
+}
+
+# words that END in an inflection-shaped suffix but are not inflected —
+# protect them from the rules below
+_NOT_INFLECTED = frozenset(
+    """
+    thing things king kings ring rings spring string wing wings song
+    during morning evening ceiling darling nothing something anything
+    everything anywhere bring sing
+    this his its is was has gas bus plus yes less unless boss class glass
+    grass cross process press dress address business witness
+    red bed wed led ted hundred sacred wicked naked wretched beloved
+    ahead dead instead indeed need speed seed feed deed
+    always perhaps news series species
+    """.split()
+)
+
+_VOWELS = set("aeiou")
+
+
+def _has_vowel(s: str) -> bool:
+    return any(c in _VOWELS for c in s) or "y" in s[1:]
+
+
+def _fix_stem(stem: str) -> str:
+    """Porter-style repair after stripping -ed/-ing: undo consonant doubling
+    (stopp→stop) except ll/ss/zz, or restore the silent e on short cvc stems
+    (hop→hope — only when the strip CREATED the cvc shape)."""
+    if (
+        len(stem) >= 3
+        and stem[-1] == stem[-2]
+        and stem[-1] not in "lszaeiou"
+    ):
+        return stem[:-1]
+    if (
+        len(stem) >= 3
+        and stem[-1] not in "aeiouwxy"
+        and stem[-2] in _VOWELS
+        and stem[-3] not in _VOWELS
+    ):
+        return stem + "e"
+    return stem
+
+
+def english_lemma(word: str) -> str:
+    """Deterministic English lemma of a lowercase alpha word."""
+    if word in IRREGULAR:
+        return IRREGULAR[word]
+    if word in _NOT_INFLECTED or len(word) < 4:
+        return word
+
+    # plural / 3rd-person -s
+    if word.endswith("ies") and len(word) > 4:
+        return word[:-3] + "y"
+    if word.endswith(("ches", "shes", "xes", "zes", "sses", "oes")):
+        return word[:-2]
+    if word.endswith("s") and not word.endswith(("ss", "us", "is")):
+        return word[:-1]
+
+    # past -ed
+    if word.endswith("ied") and len(word) > 4:
+        return word[:-3] + "y"
+    if word.endswith("eed"):
+        return word[:-1]  # agreed → agree, freed → free
+    if word.endswith("ed") and len(word) > 4:
+        stem = word[:-2]
+        if _has_vowel(stem):
+            return _fix_stem(stem)
+        return word
+
+    # progressive -ing
+    if word.endswith("ing") and len(word) >= 5:
+        stem = word[:-3]
+        if _has_vowel(stem):
+            return _fix_stem(stem)
+        return word
+
+    return word
+
+
+_REGISTRY: dict[str, Lemmatizer | None] = {
+    "identity": None,
+    "english": english_lemma,
+}
+
+
+def get_lemmatizer(name: str | None) -> Lemmatizer | None:
+    """Resolve a lemmatizer by registry name (None/'identity' → no-op).
+    Callables pass through, so cluster images with spaCy can inject one."""
+    if name is None or callable(name):
+        return name  # type: ignore[return-value]
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown lemmatizer {name!r}; known: {sorted(_REGISTRY)}"
+        ) from None

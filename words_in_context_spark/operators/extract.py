@@ -39,7 +39,9 @@ LINES_SCHEMA = "url string, line_id int, line string"
 _BATCH_OUT = 200_000
 
 
-def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _tokenize_batches(
+    it: Iterator[pd.DataFrame], lemmatizer=None
+) -> Iterator[pd.DataFrame]:
     """Vectorized batch tokenization (textparse_vec) — semantics-identical to
     the sequential textparse.tokenize_lines (property-tested), ~20× faster."""
     from ..textparse_vec import tokenize_batch
@@ -65,7 +67,7 @@ def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if "lang" in pdf.columns
             else ["en"] * len(pdf)
         )
-        out = tokenize_batch(urls, texts, langs)
+        out = tokenize_batch(urls, texts, langs, lemmatizer=lemmatizer)
         if out.empty:
             continue
         url_arr = pd.array(urls, dtype=object)
@@ -82,17 +84,39 @@ def _tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def tokenize(docs: DataFrame) -> DataFrame:
+def tokenize(docs: DataFrame, lemmatizer=None) -> DataFrame:
     """docs(url, text[, lang]) → tokens(url, tok_idx, line_id, pos, term,
     is_namecase, in_sound_desc). Narrow map, no shuffle.
 
-    The wide ``html`` binary column is read ONLY when no ``text`` column
-    exists — selecting it unconditionally would drag gigabytes of page bytes
-    through the scan and the Arrow channel that column pruning should drop."""
-    cols = [c for c in ("url", "text", "lang") if c in docs.columns]
-    if "text" not in cols and "html" in docs.columns:
-        cols.append("html")
-    return docs.select(*cols).mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+    The wide ``html`` binary column crosses Arrow only where needed: absent
+    entirely when every row has text; masked to NULL for rows that already
+    have text (input_hint tables carry both columns with html-only rows) —
+    page bytes never ride along for rows the tokenizer won't decode.
+
+    ``lemmatizer``: registry name ('english') or str→str callable — the T1
+    seam (see lemma.py); None = identity (default mode, frozen fixtures)."""
+    from ..lemma import get_lemmatizer
+
+    lem = get_lemmatizer(lemmatizer)
+    return _select_doc_cols(docs).mapInPandas(
+        lambda it: _tokenize_batches(it, lemmatizer=lem),
+        schema=TOKENS_SCHEMA,
+    )
+
+
+def _select_doc_cols(docs: DataFrame) -> DataFrame:
+    cols = [F.col(c) for c in ("url", "text", "lang") if c in docs.columns]
+    if "html" in docs.columns:
+        if "text" in docs.columns:
+            cols.append(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""),
+                    F.col("html"),
+                ).alias("html")
+            )
+        else:
+            cols.append(F.col("html"))
+    return docs.select(*cols)
 
 
 def _lines_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,8 +138,7 @@ def _lines_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_lines_df(docs: DataFrame) -> DataFrame:
     """docs(url, text) → lines(url, line_id, line) — the J2 snippet side.
     line_id == SRT cue number (positional-list invariant)."""
-    cols = [c for c in ("url", "text", "html") if c in docs.columns]
-    return docs.select(*cols).mapInPandas(_lines_batches, schema=LINES_SCHEMA)
+    return _select_doc_cols(docs).mapInPandas(_lines_batches, schema=LINES_SCHEMA)
 
 
 def tokenize_simple(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -133,7 +156,9 @@ def tokenize_simple(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 TF_SCHEMA = "url string, term string, tf int, doc_len int"
 
 
-def _tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _tf_batches(
+    it: Iterator[pd.DataFrame], lemmatizer=None
+) -> Iterator[pd.DataFrame]:
     """Per-document tf aggregation INSIDE the UDF: emits one row per distinct
     (url, term) with the document length attached. Because aggregation
     happens before any shuffle, the index build never moves raw token rows —
@@ -159,7 +184,7 @@ def _tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if "lang" in pdf.columns
             else ["en"] * len(pdf)
         )
-        out = tokenize_batch(urls, texts, langs)
+        out = tokenize_batch(urls, texts, langs, lemmatizer=lemmatizer)
         if out.empty:
             continue
         tf = (
@@ -175,10 +200,13 @@ def _tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def tokenize_tf(docs: DataFrame) -> DataFrame:
+def tokenize_tf(docs: DataFrame, lemmatizer=None) -> DataFrame:
     """docs(url, text[, lang]) → (url, term, tf, doc_len): the forward index
-    emitted directly from the extract UDTF with NO token-level shuffle."""
-    cols = [c for c in ("url", "text", "lang") if c in docs.columns]
-    if "text" not in cols and "html" in docs.columns:
-        cols.append("html")
-    return docs.select(*cols).mapInPandas(_tf_batches, schema=TF_SCHEMA)
+    emitted directly from the extract UDTF with NO token-level shuffle.
+    ``lemmatizer``: see tokenize()."""
+    from ..lemma import get_lemmatizer
+
+    lem = get_lemmatizer(lemmatizer)
+    return _select_doc_cols(docs).mapInPandas(
+        lambda it: _tf_batches(it, lemmatizer=lem), schema=TF_SCHEMA
+    )

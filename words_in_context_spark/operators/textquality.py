@@ -14,11 +14,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists (public, common knowledge).
+# Validated against the reference's golden 13-file language map
+# (/root/reference/test/test_detect_languages.py:13-32) in
+# tests/test_pipeline_ops.py::test_lang_id_matches_reference_golden_map.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "you", "that", "it"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "ein"],
     "es": ["el", "la", "de", "que", "y", "los", "es", "un"],
     "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "it": ["il", "di", "che", "non", "per", "con", "sono", "una"],
+    "pt": ["o", "de", "que", "do", "da", "em", "um", "para"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "dat", "niet"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "это"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av"],
+    "pl": ["nie", "się", "w", "na", "i", "z", "do", "że"],
 }
 
 

@@ -36,11 +36,14 @@ class WordStats:
 class CorpusOracle:
     """In-memory corpus: doc_id → DocTokens, with reference scoring."""
 
-    def __init__(self) -> None:
+    def __init__(self, lemmatizer=None) -> None:
         self.docs: dict[str, DocTokens] = {}
+        self.lemmatizer = lemmatizer  # T1 seam, see lemma.py
 
     def add(self, doc_id: str, text: str, lang: str = "en") -> None:
-        self.docs[doc_id] = extract_and_tokenize(text, lang=lang)
+        self.docs[doc_id] = extract_and_tokenize(
+            text, lang=lang, lemmatizer=self.lemmatizer
+        )
 
     def add_tokens(self, doc_id: str, doc: DocTokens) -> None:
         self.docs[doc_id] = doc

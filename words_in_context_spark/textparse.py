@@ -144,6 +144,54 @@ def extract_srt_lines(text: str, separator: str = "") -> list[str]:
     return out
 
 
+# --------------------------------------------------------------------------
+# HTML → text (the generalization of the reference's per-cue TAG_REGEX strip,
+# extract_words.py:26,142-143, to whole web pages): drop non-content blocks
+# (script/style/comments), break block-level tags into lines, strip remaining
+# tags, decode entities. Pure Python for the Arrow UDF path; the JVM twin is
+# functions/html.py (same regexp chain as built-in expressions).
+# --------------------------------------------------------------------------
+
+_HTML_COMMENT_RE = _stdre.compile(r"<!--.*?-->", _stdre.S)
+_HTML_SCRIPT_STYLE_RE = _stdre.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", _stdre.S | _stdre.I
+)
+_HTML_BLOCK_TAG_RE = _stdre.compile(
+    r"<\s*/?\s*(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|"
+    r"header|footer|blockquote|pre|title)\b[^>]*>",
+    _stdre.I,
+)
+_HTML_TAG_RE = _stdre.compile(r"<[^>]*>")
+_HTML_DETECT_RE = _stdre.compile(
+    r"(?i)<\s*(!doctype|html|head|body|div|p|br|script|style|title|h[1-6])\b"
+)
+
+
+def looks_like_html(text: str) -> bool:
+    """Cheap format sniff on the document head: any structural HTML tag."""
+    return _HTML_DETECT_RE.search(text[:4096]) is not None
+
+
+def html_to_text(html: str) -> str:
+    """Extract visible text from an HTML page.
+
+    Order matters: comments and script/style bodies are removed FIRST (their
+    contents are never visible text), then block-level tags become line
+    breaks (so extract_lines gets one entry per block — headings, paragraphs,
+    list items), then all remaining tags become spaces, then character
+    entities are decoded. Whitespace inside a line is collapsed; empty lines
+    are dropped by extract_plain_lines downstream."""
+    import html as _htmlmod
+
+    s = _HTML_COMMENT_RE.sub(" ", html)
+    s = _HTML_SCRIPT_STYLE_RE.sub(" ", s)
+    s = _HTML_BLOCK_TAG_RE.sub("\n", s)
+    s = _HTML_TAG_RE.sub(" ", s)
+    s = _htmlmod.unescape(s)
+    lines = [" ".join(ln.split()) for ln in s.splitlines()]
+    return "\n".join(ln for ln in lines if ln)
+
+
 def extract_plain_lines(text: str) -> list[str]:
     """Extraction for non-SRT documents: one entry per non-empty line,
     HTML tags removed, whitespace normalized. line_id == line ordinal."""
@@ -169,9 +217,15 @@ def looks_like_srt(text: str) -> bool:
 
 def extract_lines(text: str) -> list[str]:
     """Dispatch: SRT-structured text uses cue extraction (positional list),
-    anything else uses plain line extraction."""
+    HTML pages are reduced to visible text first (one line per block-level
+    element), anything else uses plain line extraction."""
     if looks_like_srt(text):
         return extract_srt_lines(text)
+    if looks_like_html(text):
+        # html_to_text output is already tag-free and whitespace-normalized;
+        # do NOT route it through extract_plain_lines — its per-line TAG_RE
+        # strip would mangle decoded entities (e.g. '&lt;tag&gt;' → '<tag>')
+        return [ln for ln in html_to_text(text).splitlines() if ln]
     return extract_plain_lines(text)
 
 
@@ -192,14 +246,9 @@ class DocTokens:
     total_words: int = 0
 
 
-def _lemma(word: str) -> str:
-    """Engine lemmatizer: identity. Pluggable seam for a real lemmatizer;
-    the reference uses spaCy (extract_words.py:211), which is model-dependent
-    and unavailable here — identity keeps the engine deterministic."""
-    return word
-
-
-def tokenize_lines(lines: list[str], lang: str = "en") -> DocTokens:
+def tokenize_lines(
+    lines: list[str], lang: str = "en", lemmatizer=None
+) -> DocTokens:
     """Sequential token-emission over a document's lines.
 
     Mirrors the per-token state machines of the reference ``analyze_file``
@@ -211,9 +260,15 @@ def tokenize_lines(lines: list[str], lang: str = "en") -> DocTokens:
       2. pos resets after a sentence-ending token or a bare '-' (T4);
       3. punctuation-only / non-alpha tokens are skipped (P7);
       4. German apostrophe contractions are kept raw-lowered (T5);
-      5. otherwise the lowered lemma is alphabet-normalized and split;
+      5. otherwise the lowered token is alphabet-normalized and split;
          each alpha-bearing part is emitted (T6), incrementing pos and the
          document word counter per emitted part (T7/T8).
+
+    ``lemmatizer`` is the T1 seam (reference lemmatizes with spaCy,
+    extract_words.py:207-211 — unavailable here): a ``str -> str`` callable
+    applied to each emitted normalized part (see lemma.py; identity when
+    None). Apostrophe-rule tokens stay raw, matching the reference's
+    keep-as-is branch (extract_words.py:266-276).
     """
     result = DocTokens()
     in_sound_desc = False
@@ -246,10 +301,12 @@ def tokenize_lines(lines: list[str], lang: str = "en") -> DocTokens:
                 result.total_words += 1
                 continue
 
-            parts = _NON_WORD_RE.sub(" ", _lemma(raw).lower()).split()
+            parts = _NON_WORD_RE.sub(" ", raw.lower()).split()
             for part in parts:
                 if not has_alpha(part):
                     continue
+                if lemmatizer is not None:
+                    part = lemmatizer(part)
                 result.tokens.append(
                     Token(line_id, pos, part, namecased, in_sound_desc)
                 )
@@ -277,6 +334,8 @@ def likely_names(doc: DocTokens) -> set[str]:
     return names
 
 
-def extract_and_tokenize(text: str, lang: str = "en") -> DocTokens:
+def extract_and_tokenize(
+    text: str, lang: str = "en", lemmatizer=None
+) -> DocTokens:
     """Full document pipeline: extract lines then tokenize."""
-    return tokenize_lines(extract_lines(text), lang=lang)
+    return tokenize_lines(extract_lines(text), lang=lang, lemmatizer=lemmatizer)

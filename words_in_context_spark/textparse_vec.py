@@ -42,9 +42,9 @@ class _UniqueTokenInfo:
     predicate functions (parity by construction)."""
 
     __slots__ = ("open_b", "close_b", "dash", "endsent", "alpha", "namecase",
-                 "apos_de", "lower", "parts")
+                 "apos_de", "lower", "parts", "lemma_parts")
 
-    def __init__(self, uniques: np.ndarray):
+    def __init__(self, uniques: np.ndarray, lemmatizer=None):
         n = len(uniques)
         self.open_b = np.empty(n, dtype=bool)
         self.close_b = np.empty(n, dtype=bool)
@@ -55,6 +55,10 @@ class _UniqueTokenInfo:
         self.apos_de = np.empty(n, dtype=bool)
         self.lower = np.empty(n, dtype=object)
         self.parts = np.empty(n, dtype=object)  # normalized alpha parts
+        # lemmatized twin of parts, computed once per UNIQUE token (T1 seam)
+        self.lemma_parts = self.parts if lemmatizer is None else np.empty(
+            n, dtype=object
+        )
         for i, raw in enumerate(uniques):
             self.open_b[i] = "[" in raw
             self.close_b[i] = "]" in raw
@@ -66,13 +70,19 @@ class _UniqueTokenInfo:
             self.lower[i] = raw.lower()
             parts = _NON_WORD_RE.sub(" ", raw.lower()).split()
             self.parts[i] = [p for p in parts if has_alpha(p)]
+            if lemmatizer is not None:
+                self.lemma_parts[i] = [lemmatizer(p) for p in self.parts[i]]
 
 
 def tokenize_batch(
-    urls: list, texts: list, langs: list
+    urls: list, texts: list, langs: list, lemmatizer=None
 ) -> pd.DataFrame:
     """Tokenize a batch of documents. Returns a DataFrame with TOKEN_COLS,
-    where doc_idx indexes into the input lists (caller maps back to url)."""
+    where doc_idx indexes into the input lists (caller maps back to url).
+
+    ``lemmatizer`` (T1 seam, see lemma.py): applied to every normalized part,
+    once per unique raw token; apostrophe-rule tokens stay raw. Pass a
+    lang-aware callable for multilingual corpora."""
     # ---- explode docs → lines → raw tokens (C-speed pandas) ---------------
     doc_idx_l, line_id_l, line_l = [], [], []
     for di, text in enumerate(texts):
@@ -100,7 +110,7 @@ def tokenize_batch(
     doc_idx = toks["doc_idx"].to_numpy(dtype=np.int64)
     line_id = toks["line_id"].to_numpy(dtype=np.int64)
     codes, uniques = pd.factorize(toks["toks"])
-    info = _UniqueTokenInfo(uniques.to_numpy())
+    info = _UniqueTokenInfo(uniques.to_numpy(), lemmatizer=lemmatizer)
 
     n = codes.size
     open_b = info.open_b[codes]
@@ -169,7 +179,7 @@ def tokenize_batch(
             terms[w] = info.lower[c]
             w += 1
         else:
-            for p in info.parts[c]:
+            for p in info.lemma_parts[c]:
                 terms[w] = p
                 w += 1
 
