@@ -271,3 +271,32 @@ def test_cooccurrence_topk(spark, docs_df, pages, tmp_path_factory):
     }
     assert got == expected
     assert expected, "test corpus produced no co-occurrences?"
+
+
+def test_encode_run_aggregates_docid_collisions():
+    """xxhash64(url) birthday collisions: two urls with the same doc_id that
+    share a term must be AGGREGATED (sum tf, max doc_len) before encoding —
+    the codec asserts strictly increasing ids and would otherwise crash the
+    executor task (guaranteed at the 10^12-doc design point, ~3e4 expected
+    collisions)."""
+    import pandas as pd
+
+    from words_in_context_spark.index.build import _encode_run
+    from words_in_context_spark.index.query import _row_to_encoded
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pdf = pd.DataFrame(
+        {
+            "term": ["t"] * 4,
+            "salt": [0] * 4,
+            "doc_id": np.asarray([7, 3, 7, 9], dtype=np.int64),
+            "tf": np.asarray([2, 1, 5, 4], dtype=np.int64),
+            "doc_len": np.asarray([10, 8, 30, 12], dtype=np.int64),
+        }
+    )
+    out = _encode_run(avgdl=15.0)(pdf).iloc[0].to_dict()
+    ids, tfs, dls = decode_postings(_row_to_encoded(out))
+    assert ids.tolist() == [3, 7, 9]
+    assert tfs.tolist() == [1, 7, 4]  # collided doc 7: tf 2+5
+    assert dls.tolist() == [8, 30, 12]  # max doc_len
+    assert out["df"] == 3 and out["cf"] == 12

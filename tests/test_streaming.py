@@ -209,3 +209,52 @@ def test_replay_after_partial_crash_converges(spark, tmp_path):
         ids, tfs, _ = decode_postings(_row_to_encoded(rec.asDict()))
         after[rec["term"]] = list(zip(ids.tolist(), tfs.tolist()))
     assert after == snapshot, "replay changed postings (not idempotent)"
+
+
+def test_replay_positions_and_stats_repair(spark, tmp_path):
+    """Crash-window coverage for the tail writes (doc_map is appended LAST):
+    (a) positions appended, crash before doc_map append → replay must NOT
+        duplicate positional rows (doc_id anti-join);
+    (b) doc_map appended, crash before write_stats → the next (no-op) batch
+        repairs stats.n_docs from doc_map."""
+    import glob
+    import json
+
+    from words_in_context_spark.corpus import generate_pages
+    from words_in_context_spark.index.build import build_index
+    from words_in_context_spark.streaming.incremental import merge_docs_into_index
+
+    pages = generate_pages(14, seed=77)
+    first, second = pages[:9], pages[9:]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, _pages_df(spark, first), idx, n_buckets=4, n_salts=4,
+        with_positions=True,
+    )
+
+    pre_docmap = set(glob.glob(f"{idx}/doc_map/*.parquet"))
+    assert merge_docs_into_index(spark, _pages_df(spark, second), idx) == 5
+    pos_after_merge = spark.read.parquet(f"{idx}/positions")
+    n_pos = pos_after_merge.count()
+    assert pos_after_merge.groupBy("doc_id", "term").count().where(
+        "count > 1"
+    ).count() == 0
+
+    # (a) crash: lose the doc_map append (positions + segments survived)
+    for f in glob.glob(f"{idx}/doc_map/*.parquet"):
+        if f not in pre_docmap:
+            os.remove(f)
+    assert merge_docs_into_index(spark, _pages_df(spark, second), idx) == 5
+    pos2 = spark.read.parquet(f"{idx}/positions")
+    assert pos2.count() == n_pos, "replay duplicated positional rows"
+    assert pos2.groupBy("doc_id", "term").count().where("count > 1").count() == 0
+
+    # (b) crash: stats write lost after the doc_map append → no-op batch repairs
+    stats_path = f"{idx}/stats.json"
+    stats = json.load(open(stats_path))
+    true_n = spark.read.parquet(f"{idx}/doc_map").count()
+    assert stats["n_docs"] == true_n
+    stats["n_docs"] = 1  # simulate the stale counter
+    json.dump(stats, open(stats_path, "w"))
+    assert merge_docs_into_index(spark, _pages_df(spark, second), idx) == 0
+    assert json.load(open(stats_path))["n_docs"] == true_n

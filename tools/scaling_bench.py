@@ -108,17 +108,20 @@ def main() -> None:
     pairs.sort(key=lambda p: p["efficiency"])
     median_pair = pairs[len(pairs) // 2] if len(pairs) % 2 else pairs[len(pairs) // 2 - 1]
     best_pair = pairs[-1]
-    lo, hi = best_pair["lo"], best_pair["hi"]
-    eff = best_pair["efficiency"]
+    # HEADLINE = the median interleaved pair (honest central tendency on a
+    # drifting VM); best pair is supplementary. Keys name the actual
+    # parallelism levels measured (local[2] / local[8] = N / 4N).
+    lo, hi = median_pair["lo"], median_pair["hi"]
+    eff = median_pair["efficiency"]
     result = {
         "metric": "index_build_scaling_efficiency",
         "n_docs": n_docs,
         "pairs": [p["efficiency"] for p in pairs],
-        "median_pair_efficiency": median_pair["efficiency"],
-        "local8": lo,
-        "local32": hi,
+        "local2": lo,
+        "local8": hi,
         "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 2),
         "efficiency": eff,
+        "best_pair_efficiency": best_pair["efficiency"],
         "threshold": 0.8,
         "pass": eff >= 0.8,
     }
@@ -150,13 +153,14 @@ identical input, at two parallelism levels:
 
 (Interleaved lo/hi pairs — this sandbox VM's cpu allocation drifts ±50% on
 multi-minute timescales, so each efficiency sample pairs runs measured
-back-to-back; pair efficiencies this run: {result['pairs']}, median
-{result['median_pair_efficiency']}, best pair reported above. N=2/4N=8
-because a pure-CPU probe shows the hypervisor itself only scales 0.68× from
-8→32 threads; each level hard-pinned with taskset — see module docstring.)
+back-to-back; pair efficiencies this run: {result['pairs']}; the MEDIAN pair
+is the headline above (best pair {result['best_pair_efficiency']} is
+supplementary). N=2/4N=8 because a pure-CPU probe shows the hypervisor
+itself only scales 0.68× from 8→32 threads; each level hard-pinned with
+taskset — see module docstring.)
 
 **speedup 2→8: {result['speedup']}×; scaling efficiency =
-(throughput@4N / throughput@N) / 4 = {result['efficiency']}**
+(throughput@4N / throughput@N) / 4 = {result['efficiency']} (median pair)**
 (threshold ≥ 0.8 → {"PASS" if result['pass'] else "FAIL"})
 
 ## Headline query suite

@@ -24,7 +24,10 @@ term at web scale costs S bounded encode tasks + one cheap byte-concat task.
 
 doc_id = xxhash64(url): deterministic, shuffle-free assignment. (At 10^12
 docs, expect ~3e4 birthday collisions across 2^64 — acceptable for ranking;
-a dense-id mode would add a sort. Collisions merge two urls' stats.)
+a dense-id mode would add a sort. Colliding urls are AGGREGATED per posting
+in _encode_run — sum tf, max doc_len — because the codec requires strictly
+increasing doc_ids; without that pre-aggregation a collision between two
+urls sharing a term would crash the encode task.)
 """
 
 from __future__ import annotations
@@ -82,6 +85,16 @@ def _encode_run(avgdl: float):
         ids = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["doc_len"].to_numpy()[order]
+        if ids.size > 1 and (ids[1:] == ids[:-1]).any():
+            # xxhash64(url) birthday collisions: aggregate per doc_id
+            # (sum tf, max doc_len) — encode_postings requires strictly
+            # increasing ids and would otherwise assert out the task
+            uniq, inv = np.unique(ids, return_inverse=True)
+            tf_agg = np.zeros(uniq.size, dtype=tfs.dtype)
+            np.add.at(tf_agg, inv, tfs)
+            dl_agg = np.zeros(uniq.size, dtype=dls.dtype)
+            np.maximum.at(dl_agg, inv, dls)
+            ids, tfs, dls = uniq, tf_agg, dl_agg
         enc = encode_postings(ids, tfs, dls, avgdl)
         return pd.DataFrame(
             [
@@ -185,6 +198,7 @@ def build_index(
     overwrite: bool = False,
     tokens: DataFrame | None = None,
     with_positions: bool = False,
+    lemmatizer=None,
 ) -> BuildResult:
     """Build (or resume) the inverted index for ``docs`` at ``index_dir``.
 
@@ -203,6 +217,9 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    tok_name = "wics-v1" if lemmatizer is None else (
+        f"wics-v1+{getattr(lemmatizer, '__name__', lemmatizer)}"
+    )
     doc_map_path = os.path.join(index_dir, "doc_map")
     forward_path = os.path.join(index_dir, "forward")
 
@@ -213,7 +230,7 @@ def build_index(
     # as the engine's term-doc matrix artifact, and both downstream passes
     # (doc stats, postings) read it instead of re-tokenizing.
     if not _exists(forward_path):
-        fwd = tokenize_tf(docs) if tokens is None else (
+        fwd = tokenize_tf(docs, lemmatizer=lemmatizer) if tokens is None else (
             tokens.groupBy("url", "term")
             .agg(F.count("*").alias("tf"))
             .withColumn(
@@ -293,7 +310,7 @@ def build_index(
                     "lineage": {
                         "n_docs": int(n_docs),
                         "n_salts": n_salts,
-                        "tokenizer": "wics-v1",
+                        "tokenizer": tok_name,
                     },
                 },
             )
@@ -303,7 +320,7 @@ def build_index(
         if not _exists(positions_path):
             doc_map = spark.read.parquet(doc_map_path)
             (
-                tokenize(docs)
+                tokenize(docs, lemmatizer=lemmatizer)
                 .groupBy("url", "term")
                 .agg(
                     F.array_sort(F.collect_list("line_id")).alias("line_ids")
@@ -326,7 +343,7 @@ def build_index(
             "n_buckets": n_buckets,
             "n_salts": n_salts,
             "built_at": dt.datetime.now(dt.timezone.utc).isoformat(),
-            "tokenizer": "wics-v1",
+            "tokenizer": tok_name,
         },
     )
     return BuildResult(index_dir, int(n_docs), avgdl, todo, sorted(done))

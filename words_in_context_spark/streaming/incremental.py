@@ -152,6 +152,13 @@ def merge_docs_into_index(
     )
     n_new = new_map.count()
     if n_new == 0:
+        # repair pass: a prior attempt that crashed between the doc_map
+        # append and write_stats left stats.n_docs stale; doc_map is the
+        # source of truth, so reconcile here (cheap count, no-op otherwise)
+        true_n = doc_map.count()
+        if int(stats["n_docs"]) != int(true_n):
+            stats["n_docs"] = int(true_n)
+            mf.write_stats(index_dir, stats)
         tf_new.unpersist()
         new_map.unpersist()
         return 0
@@ -199,20 +206,29 @@ def merge_docs_into_index(
         "bucket"
     ).parquet(seg_path)
 
-    new_map.write.mode("append").parquet(doc_map_path)
+    # Replay-idempotency ordering: doc_map is appended LAST of the data
+    # writes — it is the replay gate (the anti-join above), so every earlier
+    # write must tolerate a re-run. Segments tolerate it via keep-first dedup
+    # in _merge_with_existing; positions via the doc_id anti-join below. A
+    # crash anywhere before the doc_map append simply re-runs the whole
+    # batch; after it, the batch is a no-op whose repair pass fixes stats.
 
     # positional store (if present) is (doc_id, term, line_ids): new docs
-    # only ADD rows — append, no rewrite
+    # only ADD rows — append, no rewrite; anti-join by doc_id so a replayed
+    # attempt that already appended them (then crashed before the doc_map
+    # append) never duplicates rows
     positions_path = os.path.join(index_dir, "positions")
     if os.path.exists(positions_path):
         from ..index.build import bucket_expr as _bexpr
         from ..operators.extract import tokenize as _tokenize
 
+        already = spark.read.parquet(positions_path).select("doc_id").distinct()
         (
             _tokenize(fresh)
             .groupBy("url", "term")
             .agg(F.array_sort(F.collect_list("line_id")).alias("line_ids"))
             .join(new_map.select("url", "doc_id"), "url")
+            .join(already, "doc_id", "left_anti")
             .withColumn("bucket", _bexpr(F.col("term"), n_buckets))
             .select("bucket", "doc_id", "term", "line_ids")
             .repartition("bucket")
@@ -220,6 +236,8 @@ def merge_docs_into_index(
             .partitionBy("bucket")
             .parquet(positions_path)
         )
+
+    new_map.write.mode("append").parquet(doc_map_path)
 
     # refresh manifest metrics for affected buckets + stats
     seg = spark.read.parquet(seg_path)
@@ -246,7 +264,10 @@ def merge_docs_into_index(
                 "lineage": {"incremental": True, "added_docs": int(n_new)},
             },
         )
-    stats["n_docs"] = int(stats["n_docs"]) + int(n_new)
+    # n_docs from the source of truth (doc_map after the append), never by
+    # incrementing the old counter — a replayed batch or repaired crash
+    # window would otherwise skew idf permanently
+    stats["n_docs"] = int(spark.read.parquet(doc_map_path).count())
     mf.write_stats(index_dir, stats)
     tf_new.unpersist()
     new_map.unpersist()
