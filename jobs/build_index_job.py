@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--with-positions", action="store_true",
+                    help="also build the positional store (wsid analog)")
+    ap.add_argument("--lemmatizer", default=None,
+                    help="lemmatizer registry name (e.g. 'english'); default identity")
     ap.add_argument("--query", help="comma-separated terms for a post-build smoke query")
     args = ap.parse_args()
 
@@ -55,6 +59,8 @@ def main() -> None:
         n_buckets=args.n_buckets,
         n_salts=args.n_salts,
         overwrite=args.overwrite,
+        with_positions=args.with_positions,
+        lemmatizer=args.lemmatizer,
     )
     sec = time.time() - t0
     print(

@@ -61,9 +61,12 @@ def test_segment_scan_prunes_buckets_and_pushes_terms(spark, tmp_path):
     assert "term" in pf, plan  # row-group/dictionary pushdown on term
 
 
-def test_token_path_never_reads_html(spark, tmp_path):
-    """The extract stage must scan only (url, text, lang) — the wide html
-    binary column stays out of the parquet read and the Arrow transfer."""
+def test_token_path_reads_html_only_for_textless_rows(spark, tmp_path):
+    """Mixed tables split into two scans: the text-bearing branch must scan
+    only (url, text, lang) — the wide html binary never enters its parquet
+    read or Arrow transfer — and the html branch must carry the pushed
+    textless filter (IsNull) so text-complete row groups skip it. warc_ts is
+    pruned everywhere."""
     from words_in_context_spark.corpus import generate_pages
     from words_in_context_spark.operators.extract import tokenize
 
@@ -75,9 +78,16 @@ def test_token_path_never_reads_html(spark, tmp_path):
     ).write.parquet(str(tmp_path / "pages"))
     docs = spark.read.parquet(str(tmp_path / "pages"))
 
-    rs = read_schema(tokenize(docs))
-    assert "html" not in rs and "warc_ts" not in rs, rs
-    assert "text" in rs
-    # html IS read when it's the only content column (decode fallback)
+    plan = plan_string(tokenize(docs), mode="simple")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    text_scans = [s for s in scans if "text#" in s.split("]")[0]]
+    html_scans = [s for s in scans if "html#" in s.split("]")[0]]
+    assert text_scans and html_scans, plan
+    # the text-bearing scan never touches the binary column
+    assert any("html#" not in s.split("]")[0] for s in text_scans), plan
+    # the html scan only fires for textless rows (filter pushed to parquet)
+    assert all("IsNull(text)" in s for s in html_scans), plan
+    assert "warc_ts" not in plan
+    # html IS the scanned content column when it's the only one present
     rs2 = read_schema(tokenize(docs.select("url", "html", "lang")))
     assert "html" in rs2

@@ -579,6 +579,19 @@ def q_term_positions(spark, sf_dir):
     )
 
 
+PHRASE = ["table", "hash"]
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact phrase search (token adjacency) — anchored co-partitioned join
+    chain over positional tokens (operators/phrase.py), the token-granular
+    generalization of the reference's cue-level co-occurrence lookup
+    (extract_words.py:195-196,222-228)."""
+    from .operators.phrase import phrase_count
+
+    return phrase_count(_tokens(spark, sf_dir), PHRASE)
+
+
 def q_docs_for_terms(spark, sf_dir):
     """Inverted lookup: documents ranked by tf for two fixed terms."""
     tf = _tf(spark, sf_dir)
@@ -591,19 +604,155 @@ def q_docs_for_terms(spark, sf_dir):
     )
 
 
+def q_order_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of order value per priority class,
+    composed explicitly (rank window → integer index selection → linear
+    interpolation) with the IDENTICAL expression in the oracle. Built-in
+    percentile/quantile_cont would be semantically equal but differ in the
+    last ulp of the interpolation arithmetic — the raw doubles here are
+    bit-identical across engines by construction, so no rounding is needed
+    (rounding interpolated values is itself unsafe: Spark rounds the decimal
+    shortest-repr, DuckDB the binary double)."""
+    o = _read(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.withColumn("rn", F.row_number().over(w))
+    spec = (
+        ranked.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 95)])).alias(
+                "pct"
+            ),
+        )
+        .withColumn("idx", (F.col("n") - 1) * (F.col("pct") / 100.0))
+        .withColumn("lo", F.floor("idx").cast("long") + 1)
+        .withColumn("hi", F.least(F.floor("idx").cast("long") + 2, F.col("n")))
+        .withColumn("g", F.col("idx") - F.floor("idx"))
+    )
+    a = ranked.select(
+        "o_orderpriority", F.col("rn").alias("lo"), F.col("o_totalprice").alias("va")
+    )
+    b = ranked.select(
+        "o_orderpriority", F.col("rn").alias("hi"), F.col("o_totalprice").alias("vb")
+    )
+    return (
+        spec.join(a, ["o_orderpriority", "lo"])
+        .join(b, ["o_orderpriority", "hi"])
+        .select(
+            "o_orderpriority",
+            "pct",
+            (F.col("va") + (F.col("vb") - F.col("va")) * F.col("g")).alias(
+                "value"
+            ),
+            "n",
+        )
+    )
+
+
+def q_segment_intersect(spark, sf_dir):
+    """INTERSECT: customers in the BUILDING segment who also hold an open
+    order (completes the set-op family next to union/except)."""
+    c = _read(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(o)
+
+
+def q_customer_running_revenue(spark, sf_dir):
+    """Cumulative window: per-customer running order total in date order
+    (ROWS UNBOUNDED PRECEDING — the prefix-scan window shape). Limited to one
+    nation's customers to keep the compared set focused."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer").where(F.col("c_nationkey") == 7)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .withColumn(
+            "running_total",
+            F.round(F.sum(F.round("o_totalprice", 2)).over(w), 2),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "running_total",
+        )
+    )
+
+
 QUERIES.update(
     {
+        "order_percentiles": q_order_percentiles,
+        "segment_intersect": q_segment_intersect,
+        "customer_running_revenue": q_customer_running_revenue,
         "cube_orders": q_cube_orders,
         "rollup_order_months": q_rollup_order_months,
         "pivot_status_priority": q_pivot_status_priority,
         "segment_set_ops": q_segment_set_ops,
         "term_positions": q_term_positions,
         "docs_for_terms": q_docs_for_terms,
+        "phrase_match": q_phrase_match,
     }
 )
 
 ORACLE_SQL.update(
     {
+        "order_percentiles": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_totalprice
+                     ) AS rn
+              FROM orders
+            ),
+            counts AS (
+              SELECT o_orderpriority, count(*) AS n
+              FROM ranked GROUP BY o_orderpriority
+            ),
+            spec AS (
+              SELECT o_orderpriority, n, pct,
+                     (n - 1) * (pct / 100.0) AS idx
+              FROM counts CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS pct)
+            ),
+            spec2 AS (
+              SELECT o_orderpriority, n, pct,
+                     CAST(floor(idx) AS BIGINT) + 1 AS lo,
+                     least(CAST(floor(idx) AS BIGINT) + 2, n) AS hi,
+                     idx - floor(idx) AS g
+              FROM spec
+            )
+            SELECT s.o_orderpriority, s.pct,
+                   a.o_totalprice
+                     + (b.o_totalprice - a.o_totalprice) * s.g AS value,
+                   s.n
+            FROM spec2 s
+            JOIN ranked a ON a.o_orderpriority = s.o_orderpriority AND a.rn = s.lo
+            JOIN ranked b ON b.o_orderpriority = s.o_orderpriority AND b.rn = s.hi
+        """,
+        "segment_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "customer_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   round(sum(round(o_totalprice, 2)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                    round(sum(o_totalprice), 2) AS total
@@ -663,3 +812,21 @@ ORACLE_SQL.update(
 ORACLE_SQL["docs_for_terms"] = ORACLE_SQL["docs_for_terms"].replace(
     "{_TF_SQL}", _TF_SQL
 )
+
+ORACLE_SQL["phrase_match"] = f"""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '{TOKEN_SPLIT}') AS arr
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM arrs
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS p, arr[i] AS term FROM pos WHERE arr[i] <> ''
+    ),
+    a AS (SELECT doc_id, p AS start_pos FROM toks WHERE term = '{PHRASE[0]}'),
+    b AS (SELECT doc_id, p - 1 AS start_pos FROM toks WHERE term = '{PHRASE[1]}')
+    SELECT doc_id, count(*) AS n_matches
+    FROM a JOIN b USING (doc_id, start_pos)
+    GROUP BY doc_id
+"""

@@ -216,6 +216,35 @@ def build_index(
         mf.clear(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Bound the shuffle straggler tail for the build's two applyInPandas
+    # shuffles: with exactly one task per slot the longest (term, salt) group
+    # — a head term — parks its whole wave on one straggler. 4× finer tasks
+    # cap that tail at ~25% of a wave; AQE coalesces anything oversized.
+    # Restored on exit: interactive queries measurably prefer coarser tasks.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(int(prev_shuffle), 4 * spark.sparkContext.defaultParallelism)),
+    )
+    try:
+        return _build_index_inner(
+            spark, docs, index_dir, n_buckets, n_salts,
+            tokens, with_positions, lemmatizer,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int,
+    n_salts: int,
+    tokens: DataFrame | None,
+    with_positions: bool,
+    lemmatizer,
+) -> BuildResult:
 
     tok_name = "wics-v1" if lemmatizer is None else (
         f"wics-v1+{getattr(lemmatizer, '__name__', lemmatizer)}"

@@ -105,18 +105,23 @@ def tokenize(docs: DataFrame, lemmatizer=None) -> DataFrame:
 
 
 def _select_doc_cols(docs: DataFrame) -> DataFrame:
-    cols = [F.col(c) for c in ("url", "text", "lang") if c in docs.columns]
-    if "html" in docs.columns:
-        if "text" in docs.columns:
-            cols.append(
-                F.when(
-                    F.col("text").isNull() | (F.col("text") == ""),
-                    F.col("html"),
-                ).alias("html")
-            )
-        else:
-            cols.append(F.col("html"))
-    return docs.select(*cols)
+    """Column-prune the UDTF input WITHOUT dragging page bytes along for rows
+    that already have text: when both columns exist, text-bearing rows come
+    from a scan that never reads the html column at all (the wide binary's
+    pages stay untouched for the common case), and only the textless-row
+    branch scans html (its IsNull/equality filter is pushed to the parquet
+    scan so row groups with full text columns skip it). The union re-aligns
+    schemas with NULL literals AFTER the scans."""
+    base = [c for c in ("url", "text", "lang") if c in docs.columns]
+    if "html" not in docs.columns:
+        return docs.select(*base)
+    slim = [c for c in ("url", "lang") if c in docs.columns]
+    if "text" not in docs.columns:
+        return docs.select(*slim, "html")
+    has_text = F.col("text").isNotNull() & (F.col("text") != "")
+    with_text = docs.where(has_text).select(*base)
+    html_only = docs.where(~has_text).select(*slim, "html")
+    return with_text.unionByName(html_only, allowMissingColumns=True)
 
 
 def _lines_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -295,28 +295,37 @@ def ann_knn_ivf(
 ) -> DataFrame:
     """IVF retrieval: assign vectors to cells once, probe the n_probes
     nearest cells per query, exact cosine re-rank within candidates.
-    Output schema matches brute_force_knn (its oracle twin in tests)."""
-    import numpy as np
+    Output schema matches brute_force_knn (its oracle twin in tests).
 
+    Probe-cell selection is DISTRIBUTED (centroids ship as literals inside
+    the plan; per-query top-n_probes cells via an array-sort expression) —
+    a query *table* of any size works; nothing is collected to the driver."""
     v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     if centroids is None:
         centroids = ivf_train(vectors, n_centroids, id_col=id_col, vec_col=vec_col)
     assigned = _ivf_assign_df(v, centroids)
 
-    # per-query probe cells: centroids are tiny → computed driver-side
-    qrows = queries.select(
+    qv = queries.select(
         F.col(q_id_col), as_double(F.col(q_vec_col)).alias("q")
-    ).collect()
-    C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    probe_rows = []
-    for r in qrows:
-        q = np.asarray(r["q"], dtype=np.float64)
-        sims = Cn @ (q / np.linalg.norm(q))
-        for cell in np.argsort(-sims)[:n_probes]:
-            probe_rows.append((r[q_id_col], int(cell)))
-    spark = vectors.sparkSession
-    probes = spark.createDataFrame(probe_rows, f"{q_id_col} long, cell int")
+    )
+    sims = F.transform(_centroid_lit(centroids), lambda c: cosine(F.col("q"), c))
+    # rank cells by similarity desc (tie → lower cell id): sort (-sim, cell)
+    # structs ascending, take the first n_probes cell ids
+    cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(
+                    sims,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+                )
+            ),
+            1,
+            n_probes,
+        ),
+        lambda x: x.cell,
+    )
+    probes = qv.select(q_id_col, F.explode(cells).alias("cell"))
 
     cand = assigned.join(F.broadcast(probes), "cell").select(q_id_col, id_col, "v")
     q = queries.select(F.col(q_id_col), as_double(F.col(q_vec_col)).alias("q"))

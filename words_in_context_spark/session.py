@@ -24,8 +24,11 @@ def get_spark(
     """Build (or fetch) a SparkSession on ``local[cores]``.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. ``shuffle_partitions``
-    defaults to the core count — at cluster scale this becomes
-    executors×cores (or AQE-coalesced from a higher initial number).
+    defaults to the core count — right for the small interactive queries
+    (finer tasks measurably add ~1 s of scheduling overhead per query at
+    sf0.1). The long-running build path raises it to 4× parallelism itself
+    (see index/build.py) to bound its shuffle straggler tail; at cluster
+    scale that rule is 4 × executors × cores.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
