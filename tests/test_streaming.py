@@ -258,3 +258,89 @@ def test_replay_positions_and_stats_repair(spark, tmp_path):
     json.dump(stats, open(stats_path, "w"))
     assert merge_docs_into_index(spark, _pages_df(spark, second), idx) == 0
     assert json.load(open(stats_path))["n_docs"] == true_n
+
+
+class _FakeState:
+    """Minimal GroupState stub for unit-testing the dedup state machine."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+
+def test_stateful_dedup_fn_unit():
+    import pandas as pd
+
+    from words_in_context_spark.streaming.stateful import _dedup_fn
+
+    st = _FakeState()
+    pdf = pd.DataFrame({"url": ["u1", "u2"], "text": ["t", "t"]})
+    out = list(_dedup_fn(("d1",), iter([pdf]), st))
+    assert len(out) == 1 and out[0]["url"].iloc[0] == "u1"
+    assert out[0]["first_seen_batch_rows"].iloc[0] == 2 and st.get == (2,)
+    # later batch: suppressed, counter bumps
+    out2 = list(_dedup_fn(("d1",), iter([pdf.iloc[:1]]), st))
+    assert out2 == [] and st.get == (3,)
+    # timeout: state dropped, nothing emitted
+    st.hasTimedOut = True
+    assert list(_dedup_fn(("d1",), iter([]), st)) == [] and not st.exists
+
+
+def test_streaming_dedup_first_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState keyed state: the first doc per content digest
+    is emitted exactly once ACROSS micro-batches and across a checkpoint
+    restart; duplicates only bump the suppressed counter."""
+    import pandas as pd
+
+    from words_in_context_spark.streaming.stateful import streaming_dedup_first
+    from words_in_context_spark.streaming.windows import drain_to_memory
+
+    src = tmp_path / "docs_in"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def put(fname, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"])
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    out = str(tmp_path / "deduped_out")
+
+    def run_phase():
+        # parquet sink: fault-tolerant, so keyed state recovers from ckpt
+        q = (
+            streaming_dedup_first(
+                spark.readStream.schema("url string, text string")
+                .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+            )
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r["url"]: r for r in spark.read.parquet(out).collect()}
+
+    put("b1", [("u1", "The storm rose."), ("u2", "A quiet lantern.")])
+    got1 = run_phase()
+    assert set(got1) == {"u1", "u2"}
+
+    # second delivery: u3 duplicates u1's content (punctuation differs —
+    # normalization catches it), u4 is new; the query RESTARTS on the same
+    # checkpoint so suppression proves state recovery
+    put("b2", [("u3", "the STORM rose"), ("u4", "Something new entirely.")])
+    got2 = run_phase()
+    assert set(got2) == {"u1", "u2", "u4"}, got2

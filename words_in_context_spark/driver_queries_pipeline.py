@@ -561,8 +561,8 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_chars, n_tokens, mean_token_len, alpha_ratio,
                stopword_ratio,
-               round(least(n_tokens / 100.0, 1.0) * 0.4
-                     + alpha_ratio * 0.3 + stopword_ratio * 0.3, 6) AS quality
+               least(n_tokens / 100.0, 1.0) * 0.4
+                 + alpha_ratio * 0.3 + stopword_ratio * 0.3 AS quality
         FROM feat
     """,
     "token_counts": """

@@ -73,7 +73,12 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic doc-quality features + a composite score:
     (id, n_chars, n_tokens, mean_token_len, alpha_ratio, stopword_ratio,
-    quality). All ratios rounded to 6dp."""
+    quality). Ratios rounded to 6dp; the composite is computed from the
+    ROUNDED ratios with the oracle's identical expression and deliberately
+    NOT re-rounded — the inputs being cross-engine equal makes the raw
+    double bit-identical, whereas an outer round(·, 6) lands on decimal
+    boundaries (the rounded-inputs sum lives on a 3e-7 grid) that Spark
+    (decimal shortest-repr) and DuckDB (binary) resolve differently."""
     text = F.col(text_col)
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
@@ -85,11 +90,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     mean_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 6)
     alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
-    quality = F.round(
+    quality = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
         + alpha_ratio * 0.3
-        + stop_ratio * 0.3,
-        6,
+        + stop_ratio * 0.3
     )
     return docs.select(
         F.col(id_col),
