@@ -300,3 +300,48 @@ def test_encode_run_aggregates_docid_collisions():
     assert tfs.tolist() == [1, 7, 4]  # collided doc 7: tf 2+5
     assert dls.tolist() == [8, 30, 12]  # max doc_len
     assert out["df"] == 3 and out["cf"] == 12
+
+
+def test_phrase_from_index_equals_token_path(spark, tmp_path_factory):
+    """Index-backed phrase search (positional store tok_ids) must equal the
+    token-table path (operators/phrase.py over the extract UDTF's tok_idx)
+    for bigrams and trigrams, including repeated-term phrases."""
+    from words_in_context_spark.index.query import load_index, phrase_matches_index
+    from words_in_context_spark.operators.extract import tokenize
+    from words_in_context_spark.operators.phrase import phrase_matches
+
+    pages = generate_pages(30, seed=17)
+    docs = spark.createDataFrame(
+        [(p["url"], p["text"], p["lang"]) for p in pages],
+        "url string, text string, lang string",
+    )
+    idx = str(tmp_path_factory.mktemp("phraseidx") / "idx")
+    build_index(spark, docs, idx, n_buckets=4, n_salts=2, with_positions=True)
+    h = load_index(idx)
+    doc_map = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/doc_map").collect()
+    }
+
+    toks = tokenize(docs).cache()
+    # pick real adjacent bigram/trigram from the corpus (self-consistent)
+    rows = sorted(
+        toks.where(F.col("url") == pages[0]["url"]).collect(),
+        key=lambda r: r["tok_idx"],
+    )
+    bigram = [rows[3]["term"], rows[4]["term"]]
+    trigram = [rows[7]["term"], rows[8]["term"], rows[9]["term"]]
+
+    for phrase in (bigram, trigram, ["the", "the"]):
+        via_tokens = {
+            (doc_map[r["url"]], r["start_pos"])
+            for r in phrase_matches(
+                toks, phrase, id_col="url", pos_col="tok_idx"
+            ).collect()
+        }
+        via_index = {
+            (r["doc_id"], r["start_pos"])
+            for r in phrase_matches_index(spark, h, phrase).collect()
+        }
+        assert via_index == via_tokens, phrase
+    assert phrase_matches_index(spark, h, bigram).count() > 0

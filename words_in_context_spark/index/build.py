@@ -352,11 +352,15 @@ def _build_index_inner(
                 tokenize(docs, lemmatizer=lemmatizer)
                 .groupBy("url", "term")
                 .agg(
-                    F.array_sort(F.collect_list("line_id")).alias("line_ids")
+                    F.array_sort(F.collect_list("line_id")).alias("line_ids"),
+                    # doc-local token ordinals: the token-adjacency side of
+                    # the store (index-backed phrase queries); line_ids stay
+                    # the reference's cue-granular wsid analog
+                    F.array_sort(F.collect_list("tok_idx")).alias("tok_ids"),
                 )
                 .join(doc_map.select("url", "doc_id"), "url")
                 .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
-                .select("bucket", "doc_id", "term", "line_ids")
+                .select("bucket", "doc_id", "term", "line_ids", "tok_ids")
                 .repartition("bucket")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")

@@ -363,3 +363,49 @@ def cooccurrence_topk(
         .where(F.col("rank") <= k)
         .select("doc_id", "n_lines", "line_ids", "rank")
     )
+
+
+def phrase_matches_index(
+    spark: SparkSession, h: IndexHandle, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase occurrences served FROM the positional store — no
+    re-tokenization of the corpus. (doc_id, start_pos) per occurrence, where
+    start_pos is the doc-local token ordinal of the phrase's first term
+    (``tok_ids`` written at build/merge time; line_ids remain the cue-level
+    wsid analog, extract_words.py:195-196).
+
+    Plan: bucket-pruned positional scan per phrase term (term equality pushes
+    to the parquet scan), then a chain of doc_id-co-partitioned joins that
+    intersects each term's token-position array shifted by its phrase offset
+    — per-doc work is array intersection of postings-sized lists, never a
+    token-table join. Token ordinals are continuous across cue boundaries,
+    matching the SQL-path semantics (operators/phrase.py over posexplode
+    positions); equality of the two paths is pinned in tests."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    path = os.path.join(h.index_dir, "positions")
+    buckets = sorted({_py_bucket(t, h.n_buckets) for t in set(phrase)})
+    pos = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(set(phrase))))
+        .select("doc_id", "term", "tok_ids")
+    )
+    anchor = pos.where(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("tok_ids").alias("starts")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = pos.where(F.col("term") == t).select(
+            "doc_id",
+            F.transform("tok_ids", lambda x: x - i).alias("shifted"),
+        )
+        anchor = (
+            anchor.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect("starts", "shifted").alias("starts"),
+            )
+            .where(F.size("starts") > 0)
+        )
+    return anchor.select(
+        "doc_id", F.explode("starts").alias("start_pos")
+    )

@@ -226,11 +226,14 @@ def merge_docs_into_index(
         (
             _tokenize(fresh)
             .groupBy("url", "term")
-            .agg(F.array_sort(F.collect_list("line_id")).alias("line_ids"))
+            .agg(
+                F.array_sort(F.collect_list("line_id")).alias("line_ids"),
+                F.array_sort(F.collect_list("tok_idx")).alias("tok_ids"),
+            )
             .join(new_map.select("url", "doc_id"), "url")
             .join(already, "doc_id", "left_anti")
             .withColumn("bucket", _bexpr(F.col("term"), n_buckets))
-            .select("bucket", "doc_id", "term", "line_ids")
+            .select("bucket", "doc_id", "term", "line_ids", "tok_ids")
             .repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")
