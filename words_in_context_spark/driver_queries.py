@@ -688,8 +688,55 @@ def q_customer_running_revenue(spark, sf_dir):
     )
 
 
+def q_part_name_search(spark, sf_dir):
+    """String-function surface: LIKE filter + substring/upper/length/
+    levenshtein projections (identical semantics in both engines)."""
+    p = _read(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.upper(F.substring("p_name", 1, 10)).alias("head10"),
+            F.length("p_name").alias("name_len"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias(
+                "brand_dist"
+            ),
+        )
+    )
+
+
+def q_customer_order_span(spark, sf_dir):
+    """Date-arithmetic surface: per-customer first/last order date and the
+    day span between them (integer datediff — identical both engines)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+            "span_days"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_customer_priority_sets(spark, sf_dir):
+    """Array-aggregation surface: the distinct order-priority set per
+    customer, sorted and serialized (collect_set → array_sort → concat)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_distinct"),
+    )
+
+
 QUERIES.update(
     {
+        "part_name_search": q_part_name_search,
+        "customer_order_span": q_customer_order_span,
+        "customer_priority_sets": q_customer_priority_sets,
         "order_percentiles": q_order_percentiles,
         "segment_intersect": q_segment_intersect,
         "customer_running_revenue": q_customer_running_revenue,
@@ -705,6 +752,31 @@ QUERIES.update(
 
 ORACLE_SQL.update(
     {
+        "part_name_search": """
+            SELECT p_partkey, p_name,
+                   upper(substr(p_name, 1, 10)) AS head10,
+                   length(p_name) AS name_len,
+                   levenshtein(p_brand, 'Brand#33') AS brand_dist
+            FROM part WHERE p_name LIKE '%red%'
+        """,
+        "customer_order_span": """
+            SELECT o_custkey,
+                   strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+                   strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+                   CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                                  CAST(max(o_orderdate) AS DATE)) AS INT)
+                     AS span_days,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "customer_priority_sets": """
+            SELECT o_custkey,
+                   array_to_string(
+                     list_sort(list(DISTINCT o_orderpriority)), ',')
+                     AS priorities,
+                   count(DISTINCT o_orderpriority) AS n_distinct
+            FROM orders GROUP BY o_custkey
+        """,
         "order_percentiles": """
             WITH ranked AS (
               SELECT o_orderpriority, o_totalprice,
