@@ -44,6 +44,54 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(rows)
 
 
+# The driver's hasher canonicalizes through arrow/pandas and is TYPE
+# sensitive: DuckDB HUGEINT (any integer sum()) or DECIMAL in an oracle's
+# OUTPUT arrives as decimal128 and hashes differently from Spark's BIGINT
+# even when values are bit-identical (judge r2 root cause: tfidf_topk,
+# sessionize). fetchall() converts HUGEINT -> int and masked this for two
+# rounds, so value comparison alone is NOT sufficient — gate the types too.
+_ALLOWED_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE",
+}
+
+
+def duck_type_violations(types) -> list[str]:
+    """Return the subset of DuckDB output types outside the driver-safe set
+    (lists of safe element types are allowed for collect_set-style outputs)."""
+    bad = []
+    for t in types:
+        s = str(t).upper()
+        base = s[:-2] if s.endswith("[]") else s
+        if base not in _ALLOWED_DUCK_TYPES:
+            bad.append(s)
+    return bad
+
+
+def _type_class(s: str) -> str:
+    """Collapse a type name (Spark or DuckDB) to a comparison class so the
+    two engines' outputs can be checked for driver-hash compatibility."""
+    s = s.upper()
+    if s.endswith("[]"):
+        return "list<" + _type_class(s[:-2]) + ">"
+    if s.startswith("ARRAY<") and s.endswith(">"):
+        return "list<" + _type_class(s[6:-1]) + ">"
+    if s in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "LONG", "SHORT", "BYTE"):
+        return "int"
+    if s in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if s in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s == "DATE":
+        return "date"
+    return s.lower()
+
+
 def main() -> int:
     import duckdb
 
@@ -81,18 +129,29 @@ def main() -> int:
 
         t0 = time.time()
         rel = con.sql(oracles[name])
-        dcols = [d[0] for d in rel.description]
+        dcols = list(rel.columns)
+        dtypes = [str(t) for t in rel.types]
         drows = rel.fetchall()
         t_duck = time.time() - t0
 
         sh, sn = table_hash(scols, srows)
         dh, dn = table_hash(dcols, drows)
-        ok = (sorted(scols) == sorted(dcols)) and sh == dh
+        type_errs = duck_type_violations(dtypes)
+        styp = {f.name: _type_class(f.dataType.simpleString())
+                for f in sdf.schema.fields}
+        dtyp = dict(zip(dcols, (_type_class(t) for t in dtypes)))
+        for c in set(scols) & set(dcols):
+            if styp[c] != dtyp[c]:
+                type_errs.append(f"{c}: spark={styp[c]} duck={dtyp[c]}")
+        ok = (sorted(scols) == sorted(dcols)) and sh == dh and not type_errs
         status = "OK " if ok else "FAIL"
         print(f"  {name:32s} {status} rows={sn}/{dn} hash={sh}/{dh} "
               f"[spark {t_spark:.1f}s duck {t_duck:.2f}s]")
         if not ok:
             failures += 1
+            if type_errs:
+                print(f"    oracle TYPE violations (driver hash is "
+                      f"type-sensitive): {type_errs}")
             if sorted(scols) != sorted(dcols):
                 print(f"    cols spark={sorted(scols)} duck={sorted(dcols)}")
             else:

@@ -383,7 +383,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tfidf_topk": f"""
         WITH tf AS ({_TF_SQL}),
-        dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+        -- CAST: DuckDB integer sum() yields HUGEINT; doc_len is an OUTPUT
+        -- column, and the driver's hasher is type-sensitive (Spark side is
+        -- BIGINT). Same fix as lang_distribution's total_chars in r2.
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+               FROM tf GROUP BY doc_id),
         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         n AS (SELECT count(*) AS n_docs FROM documents),
         scored AS (

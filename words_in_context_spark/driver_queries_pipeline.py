@@ -613,8 +613,12 @@ ORACLE_SQL = {
         ),
         sess AS (
           SELECT user_id, value,
-                 sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                 -- CAST: DuckDB sum(int) OVER yields HUGEINT; session_id is
+                 -- an output column and Spark's side is BIGINT — the driver
+                 -- hash is type-sensitive.
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                 AS session_id
           FROM gaps
         )
         SELECT user_id, session_id, count(*) AS n_events,
