@@ -173,6 +173,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_full_topk(spark, sf_dir):
+    """IVF with n_probes == n_centroids (full probe): every query scans every
+    cell, so the result is by construction identical to brute-force kNN —
+    which gives the iterative-training path an EXACT SQL oracle (the
+    brute-force cosine SQL). The 4-probe variant above stays as the labeled
+    approximate scale path; full-probe==brute equality is also pinned in
+    tests/test_pipeline_ops.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ann_knn_ivf(
+        emb.where(F.col("vec_id") >= 5), queries, k=10,
+        n_centroids=8, n_probes=8,
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.98) via the LSH scale
     path: banded-sketch bucket self-join → exact re-rank — never all-pairs.
@@ -305,6 +322,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_full_topk": q_ann_ivf_full_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -660,3 +678,6 @@ def _html_extract_sql() -> str:
 
 
 ORACLE_SQL["html_extract"] = _html_extract_sql()
+# Full-probe IVF visits every cell, so it equals brute-force kNN exactly —
+# the brute-force SQL IS its oracle (no need to replicate k-means training).
+ORACLE_SQL["ann_ivf_full_topk"] = ORACLE_SQL["ann_cosine_topk"]
