@@ -654,6 +654,134 @@ def q_docs_for_terms(spark, sf_dir):
     )
 
 
+# Deterministic case/sentence augmentation for the name-detection entry:
+# the driver's documents table is all-lowercase prose without punctuation,
+# so the NameCase evidence is synthesized in-query (the same device
+# q_html_extract uses for markup). Per doc_id the three rule branches vary:
+#   Zorbo — 1 sentence-initial NameCase occ + (doc_id%3) mid-sentence ones,
+#           plus a lowercase echo on even doc_ids
+#   Quix  — two sentence-initial-only occs on doc_id%5==0, else two
+#           mid-sentence occs
+# so "likely name" requires: never lowercase AND >=2 occs AND >=1 NameCase
+# occurrence at sentence position > 0 (extract_words.py:306-327).
+_NAMES_AUG_SQL = (
+    "'Zorbo spoke first. ' || repeat('Then Zorbo nodded. ', doc_id % 3) || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'the zorbo idea faded. ' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'Quix. Quix. ' "
+    "ELSE 'We saw Quix and Quix again. ' END || text"
+)
+_NAMECASE_RE = "^[A-Z][a-z]*$"
+
+
+def q_likely_names(spark, sf_dir):
+    """A8/Q2 (reference name detection, extract_words.py:306-327): a term is
+    a likely name iff every occurrence is NameCase, it occurs >= 2 times, and
+    at least one NameCase occurrence sits at sentence position > 0. Sentence
+    positions come from a two-level tokenize (sentences on [.!?]+, words on
+    non-alpha); the per-(doc,name) evidence is ONE conditional aggregation —
+    the same fold plans/tfidf.py:33-53 uses, here in its SQL-expressible
+    driver form."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NAMES_AUG_SQL).alias("aug")
+    )
+    sent = docs.select(
+        "doc_id", F.explode(F.split(F.col("aug"), r"[.!?]+")).alias("s")
+    )
+    toks = sent.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("s"), "[^A-Za-z]+"), lambda t: t != "")
+        ).alias("pos", "term"),
+    )
+    namecase = F.col("term").rlike(_NAMECASE_RE)
+    g = toks.groupBy("doc_id", F.lower(F.col("term")).alias("name")).agg(
+        F.count("*").alias("occs"),
+        F.count(F.when(namecase, 1)).alias("name_occs"),
+        F.count(F.when(namecase & (F.col("pos") > 0), 1)).alias("mid_occs"),
+    )
+    return g.where(
+        (F.col("name_occs") == F.col("occs"))
+        & (F.col("occs") >= 2)
+        & (F.col("mid_occs") >= 1)
+    ).select("doc_id", "name", "occs")
+
+
+# Sound-description augmentation (Q3): '[music humming]' is prepended to
+# every doc, so both terms occur ONLY inside brackets except on doc_id%10==0
+# where a bare 'music' escapes — exercising both branches of the reference
+# rule (extract_words.py:430-437: a term with at least one occurrence
+# OUTSIDE brackets gets its score multiplied by 10000).
+_SOUND_AUG_SQL = (
+    "'[music humming] ' || text || "
+    "CASE WHEN doc_id % 10 = 0 THEN ' music' ELSE '' END"
+)
+_BRACKET_RE = r"\[[^\]]*\]"
+
+
+def q_sound_desc_boost(spark, sf_dir):
+    """Q3 scoring: per-doc TF-IDF where terms appearing ONLY inside
+    [sound-description] brackets keep their raw score and everything else is
+    boosted x10000 (the reference deprioritizes bracket-only terms by
+    boosting the rest). Bracket membership is computed as a multiset
+    equality — occurrences inside regexp-extracted bracket spans vs total
+    occurrences — which needs no positional state machine and is identical
+    SQL in both engines. Rank key round(raw,6), compared column round(raw,4)
+    (the battery's standard cross-engine recipe)."""
+    base = _read(spark, sf_dir, "documents")
+    n_docs = base.count()
+    docs = base.select("doc_id", F.expr(_SOUND_AUG_SQL).alias("aug"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("aug")), "[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    br = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(
+                        F.array_join(
+                            F.regexp_extract_all(
+                                F.col("aug"), F.lit(_BRACKET_RE), 0
+                            ),
+                            " ",
+                        )
+                    ),
+                    "[^a-z]+",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    btf = br.groupBy("doc_id", "term").agg(F.count("*").alias("btf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    all_sound = F.coalesce(F.col("btf"), F.lit(0)) == F.col("tf")
+    raw = (F.col("tf") / F.col("doc_len")) * F.log(
+        F.lit(float(n_docs)) / F.col("df")
+    )
+    boosted = F.when(all_sound, raw).otherwise(raw * 10000)
+    scored = (
+        tf.join(btf, ["doc_id", "term"], "left")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .withColumn("all_sound", all_sound)
+        .withColumn("score6", F.round(boosted, 6))
+        .withColumn("score", F.round(boosted, 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "all_sound", "score", "rank")
+    )
+
+
 def q_order_percentiles(spark, sf_dir):
     """Exact interpolated percentiles of order value per priority class,
     composed explicitly (rank window → integer index selection → linear
@@ -797,11 +925,99 @@ QUERIES.update(
         "term_positions": q_term_positions,
         "docs_for_terms": q_docs_for_terms,
         "phrase_match": q_phrase_match,
+        "likely_names": q_likely_names,
+        "sound_desc_boost": q_sound_desc_boost,
     }
 )
 
 ORACLE_SQL.update(
     {
+        "likely_names": f"""
+            WITH docs AS (
+              SELECT doc_id, {_NAMES_AUG_SQL} AS aug FROM documents
+            ),
+            sent AS (
+              SELECT doc_id, unnest(regexp_split_to_array(aug, '[.!?]+')) AS s
+              FROM docs
+            ),
+            stok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(s, '[^A-Za-z]+'),
+                                 t -> t <> '') AS arr
+              FROM sent
+            ),
+            idx AS (
+              SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+              FROM stok
+            ),
+            toks AS (
+              SELECT doc_id, arr[i] AS term, i - 1 AS pos FROM idx
+            ),
+            agg AS (
+              SELECT doc_id, lower(term) AS name, count(*) AS occs,
+                     count(*) FILTER (
+                       WHERE regexp_full_match(term, '[A-Z][a-z]*')
+                     ) AS name_occs,
+                     count(*) FILTER (
+                       WHERE regexp_full_match(term, '[A-Z][a-z]*')
+                         AND pos > 0
+                     ) AS mid_occs
+              FROM toks GROUP BY doc_id, lower(term)
+            )
+            SELECT doc_id, name, occs FROM agg
+            WHERE name_occs = occs AND occs >= 2 AND mid_occs >= 1
+        """,
+        "sound_desc_boost": f"""
+            WITH docs AS (
+              SELECT doc_id, {_SOUND_AUG_SQL} AS aug FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(aug), '[^a-z]+'),
+                       t -> t <> '')) AS term
+              FROM docs
+            ),
+            brtoks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(array_to_string(
+                         regexp_extract_all(aug, '{_BRACKET_RE}'), ' ')),
+                         '[^a-z]+'),
+                       t -> t <> '')) AS term
+              FROM docs
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            btf AS (SELECT doc_id, term, count(*) AS btf
+                    FROM brtoks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                   FROM tf GROUP BY doc_id),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     coalesce(btf.btf, 0) = tf.tf AS all_sound,
+                     CASE WHEN coalesce(btf.btf, 0) = tf.tf
+                          THEN (tf.tf / CAST(dl.doc_len AS DOUBLE))
+                               * ln(CAST(n.n_docs AS DOUBLE) / dfq.df)
+                          ELSE (tf.tf / CAST(dl.doc_len AS DOUBLE))
+                               * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) * 10000
+                     END AS raw
+              FROM tf LEFT JOIN btf USING (doc_id, term)
+                   JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT doc_id, term, tf, all_sound,
+                     round(raw, 4) AS score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(raw, 6) DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, all_sound, score, rank
+            FROM ranked WHERE rank <= 5
+        """,
         "part_name_search": """
             SELECT p_partkey, p_name,
                    upper(substr(p_name, 1, 10)) AS head10,
