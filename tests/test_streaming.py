@@ -260,6 +260,64 @@ def test_replay_positions_and_stats_repair(spark, tmp_path):
     assert json.load(open(stats_path))["n_docs"] == true_n
 
 
+def test_positions_schema_generations(spark, tmp_path):
+    """Positional-store generation gate: merging into a v1 store (no tok_ids)
+    must REFUSE (a mixed-schema dir silently drops pre-upgrade docs from
+    phrase results); an unmixed pre-versioning store that already has tok_ids
+    is stamped to v2 and merged; phrase_matches_index refuses a <v2 handle."""
+    import json
+
+    import pytest
+
+    from words_in_context_spark.corpus import generate_pages
+    from words_in_context_spark.index.build import build_index
+    from words_in_context_spark.index.query import (
+        load_index,
+        phrase_matches_index,
+    )
+    from words_in_context_spark.streaming.incremental import (
+        merge_docs_into_index,
+    )
+
+    pages = generate_pages(12, seed=33)
+    first, second = pages[:8], pages[8:]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, _pages_df(spark, first), idx, n_buckets=4, n_salts=4,
+        with_positions=True,
+    )
+    stats_path = f"{idx}/stats.json"
+    assert json.load(open(stats_path))["positions_schema"] == 2
+
+    # pre-versioning store that ALREADY carries tok_ids: stamp + proceed
+    stats = json.load(open(stats_path))
+    del stats["positions_schema"]
+    json.dump(stats, open(stats_path, "w"))
+    assert merge_docs_into_index(spark, _pages_df(spark, second[:2]), idx) == 2
+    assert json.load(open(stats_path))["positions_schema"] == 2
+
+    # genuine v1 store (no tok_ids anywhere): merge must refuse
+    pos_path = f"{idx}/positions"
+    v1 = spark.read.parquet(pos_path).drop("tok_ids")
+    v1.write.mode("overwrite").parquet(str(tmp_path / "pos_v1"))
+    import shutil
+
+    shutil.rmtree(pos_path)
+    spark.read.parquet(str(tmp_path / "pos_v1")).write.parquet(pos_path)
+    stats = json.load(open(stats_path))
+    del stats["positions_schema"]
+    json.dump(stats, open(stats_path, "w"))
+    with pytest.raises(ValueError, match="tok_ids"):
+        merge_docs_into_index(spark, _pages_df(spark, second[2:]), idx)
+
+    # index-backed phrase search refuses a <v2 handle instead of silently
+    # dropping documents
+    h = load_index(idx)
+    assert h.positions_schema == 0
+    with pytest.raises(ValueError, match="positions_schema"):
+        phrase_matches_index(spark, h, ["the", "storm"])
+
+
 class _FakeState:
     """Minimal GroupState stub for unit-testing the dedup state machine."""
 

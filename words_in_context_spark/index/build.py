@@ -45,6 +45,14 @@ from ..operators.codec import EncodedPostings, encode_postings
 from ..operators.extract import tokenize, tokenize_tf
 from . import manifest as mf
 
+# Positional-store schema generations: v1 = (bucket, doc_id, term, line_ids),
+# v2 adds tok_ids (doc-local token ordinals for index-backed phrase search).
+# Recorded in stats.json so the incremental merge can refuse to append v2
+# rows into a v1 store — a mixed-schema parquet directory read without
+# mergeSchema infers from a sampled footer and silently drops pre-upgrade
+# documents from phrase results.
+POSITIONS_SCHEMA_VERSION = 2
+
 SEGMENT_SCHEMA = (
     "term string, bucket int, df long, cf long, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
@@ -346,6 +354,7 @@ def _build_index_inner(
 
     if with_positions:
         positions_path = os.path.join(index_dir, "positions")
+        stats_extra = {"positions_schema": POSITIONS_SCHEMA_VERSION}
         if not _exists(positions_path):
             doc_map = spark.read.parquet(doc_map_path)
             (
@@ -377,6 +386,7 @@ def _build_index_inner(
             "n_salts": n_salts,
             "built_at": dt.datetime.now(dt.timezone.utc).isoformat(),
             "tokenizer": tok_name,
+            **(stats_extra if with_positions else {}),
         },
     )
     return BuildResult(index_dir, int(n_docs), avgdl, todo, sorted(done))

@@ -41,6 +41,9 @@ class IndexHandle:
     avgdl: float
     n_buckets: int
     n_salts: int
+    # positional-store generation (0 = none/pre-versioning; 2 = +tok_ids);
+    # see index/build.py POSITIONS_SCHEMA_VERSION
+    positions_schema: int = 0
 
     def __post_init__(self) -> None:
         # hot-postings cache for the interactive path: term → EncodedPostings
@@ -71,6 +74,7 @@ def load_index(index_dir: str) -> IndexHandle:
         avgdl=float(stats["avgdl"]),
         n_buckets=int(stats["n_buckets"]),
         n_salts=int(stats["n_salts"]),
+        positions_schema=int(stats.get("positions_schema", 0)),
     )
 
 
@@ -383,6 +387,14 @@ def phrase_matches_index(
     positions); equality of the two paths is pinned in tests."""
     if not phrase:
         raise ValueError("empty phrase")
+    if h.positions_schema < 2:
+        # a v1/pre-versioning store may lack tok_ids on some files; reading
+        # it here would silently drop those documents from phrase results
+        raise ValueError(
+            "index positional store predates tok_ids (positions_schema "
+            f"{h.positions_schema} < 2); rebuild with_positions=True to "
+            "enable index-backed phrase search"
+        )
     path = os.path.join(h.index_dir, "positions")
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in set(phrase)})
     pos = (

@@ -219,8 +219,30 @@ def merge_docs_into_index(
     # append) never duplicates rows
     positions_path = os.path.join(index_dir, "positions")
     if os.path.exists(positions_path):
+        from ..index.build import POSITIONS_SCHEMA_VERSION
         from ..index.build import bucket_expr as _bexpr
         from ..operators.extract import tokenize as _tokenize
+
+        if int(stats.get("positions_schema", 0)) < POSITIONS_SCHEMA_VERSION:
+            # Pre-versioning store: appending v2 rows (with tok_ids) into a
+            # v1 store creates a mixed-schema parquet dir whose plain reads
+            # sample one footer and silently drop pre-upgrade docs from
+            # phrase results. If every existing row already carries tok_ids
+            # (tok_ids-era store written before versions existed), stamp the
+            # manifest and proceed; otherwise refuse with a rebuild path.
+            existing = spark.read.option("mergeSchema", "true").parquet(
+                positions_path
+            )
+            if "tok_ids" not in existing.columns or (
+                existing.where(F.col("tok_ids").isNull()).limit(1).count() > 0
+            ):
+                raise ValueError(
+                    f"positional store at {positions_path} predates tok_ids "
+                    f"(schema v1); rebuild the index with_positions=True (or "
+                    f"backfill tok_ids) before incremental merging — "
+                    f"appending would silently corrupt phrase search"
+                )
+            stats["positions_schema"] = POSITIONS_SCHEMA_VERSION
 
         already = spark.read.parquet(positions_path).select("doc_id").distinct()
         (
