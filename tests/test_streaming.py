@@ -260,6 +260,91 @@ def test_replay_positions_and_stats_repair(spark, tmp_path):
     assert json.load(open(stats_path))["n_docs"] == true_n
 
 
+def test_compaction_equals_batch(spark, tmp_path):
+    """N incremental appends + compaction == one batch build: identical
+    postings/positions content, the positional store compacted to one
+    term-sorted file per bucket, doc_map file count bounded, old generations
+    garbage-collected, and queries (WAND + index-backed phrase) served
+    identically from the new generation. A post-compaction merge must append
+    into the live generation."""
+    import glob
+
+    from words_in_context_spark.index.build import compact_index
+    from words_in_context_spark.index.query import (
+        _row_to_encoded,
+        phrase_matches_index,
+    )
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pages = generate_pages(18, seed=55)
+    tranches = [pages[:6], pages[6:12], pages[12:]]
+    idx = str(tmp_path / "inc")
+    batch = str(tmp_path / "batch")
+    build_index(spark, _pages_df(spark, tranches[0]), idx,
+                n_buckets=4, n_salts=4, with_positions=True)
+    for t in tranches[1:]:
+        assert merge_docs_into_index(spark, _pages_df(spark, t), idx) == 6
+
+    n_pos_files_before = len(glob.glob(f"{idx}/positions/bucket=*/*.parquet"))
+    assert n_pos_files_before > 4  # appends accumulated small files
+    topk_pre = query_topk_local(
+        spark, load_index(idx), ["storm", "the"], k=5
+    )
+
+    res = compact_index(spark, idx)
+    assert res["generation"] == 1 and res["positions_compacted"]
+    stats = mf.read_stats(idx)
+    assert stats["generation"] == 1
+    assert not os.path.exists(f"{idx}/doc_map")  # old generations GC'd
+    assert not os.path.exists(f"{idx}/positions")
+    per_bucket = glob.glob(f"{idx}/positions_g1/bucket=*/*.parquet")
+    buckets = {os.path.dirname(p) for p in per_bucket}
+    assert len(per_bucket) == len(buckets)  # exactly one file per bucket
+    assert len(glob.glob(f"{idx}/doc_map_g1/*.parquet")) == 1
+
+    # content parity vs one batch build with the same frozen avgdl
+    build_index(spark, _pages_df(spark, pages), batch,
+                n_buckets=4, n_salts=4, with_positions=True)
+
+    def postings_content(index_dir):
+        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        return {
+            rec["term"]: list(
+                zip(*[a.tolist() for a in
+                      decode_postings(_row_to_encoded(rec.asDict()))])
+            )
+            for rec in seg.collect()
+        }
+
+    assert postings_content(idx) == postings_content(batch)
+
+    def positions_content(h):
+        return {
+            (r["doc_id"], r["term"]): (list(r["line_ids"]), list(r["tok_ids"]))
+            for r in spark.read.parquet(h.positions_path).collect()
+        }
+
+    h_inc, h_batch = load_index(idx), load_index(batch)
+    assert h_inc.generation == 1 and h_batch.generation == 0
+    assert positions_content(h_inc) == positions_content(h_batch)
+
+    # compaction must not change query results (scores vs the batch index
+    # legitimately differ: the incremental index's avgdl is FROZEN at the
+    # initial build — the documented global-stats policy)
+    assert query_topk_local(spark, h_inc, ["storm", "the"], k=5) == topk_pre
+    pm_inc = {tuple(r) for r in phrase_matches_index(
+        spark, h_inc, ["the", "storm"]).collect()}
+    pm_batch = {tuple(r) for r in phrase_matches_index(
+        spark, h_batch, ["the", "storm"]).collect()}
+    assert pm_inc == pm_batch
+
+    # a merge AFTER compaction appends into the live generation
+    extra = generate_pages(22, seed=55)[18:]
+    assert merge_docs_into_index(spark, _pages_df(spark, extra), idx) == 4
+    assert mf.read_stats(idx)["n_docs"] == 22
+    assert spark.read.parquet(f"{idx}/doc_map_g1").count() == 22
+
+
 def test_positions_schema_generations(spark, tmp_path):
     """Positional-store generation gate: merging into a v1 store (no tok_ids)
     must REFUSE (a mixed-schema dir silently drops pre-upgrade docs from

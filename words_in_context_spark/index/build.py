@@ -257,7 +257,13 @@ def _build_index_inner(
     tok_name = "wics-v1" if lemmatizer is None else (
         f"wics-v1+{getattr(lemmatizer, '__name__', lemmatizer)}"
     )
-    doc_map_path = os.path.join(index_dir, "doc_map")
+    # resume into a previously-compacted index: honor its committed
+    # generation pointer so the stores being appended/read are the live ones
+    try:
+        generation = int(mf.read_stats(index_dir).get("generation", 0))
+    except FileNotFoundError:
+        generation = 0
+    doc_map_path = mf.data_dir(index_dir, "doc_map", generation)
     forward_path = os.path.join(index_dir, "forward")
 
     # The forward index (url, term, tf, doc_len) is aggregated INSIDE the
@@ -353,7 +359,7 @@ def _build_index_inner(
             )
 
     if with_positions:
-        positions_path = os.path.join(index_dir, "positions")
+        positions_path = mf.data_dir(index_dir, "positions", generation)
         stats_extra = {"positions_schema": POSITIONS_SCHEMA_VERSION}
         if not _exists(positions_path):
             doc_map = spark.read.parquet(doc_map_path)
@@ -386,6 +392,7 @@ def _build_index_inner(
             "n_salts": n_salts,
             "built_at": dt.datetime.now(dt.timezone.utc).isoformat(),
             "tokenizer": tok_name,
+            "generation": generation,
             **(stats_extra if with_positions else {}),
         },
     )
@@ -394,3 +401,69 @@ def _build_index_inner(
 
 def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_docs_per_file: int = 2_000_000,
+) -> dict:
+    """Generational compaction of the append-mode stores (ST1 maintenance).
+
+    Every incremental merge APPENDS parquet files to doc_map and (per
+    affected bucket) to positions: after N micro-batches a bucket's
+    positional data is spread across ~N unsorted files and doc_map across
+    N+1 — the classic small-files problem, and lost row-group pruning, at
+    web scale. Compaction rewrites both stores as generation g+1
+    (positions: one term-sorted file per bucket, restoring min/max pruning;
+    doc_map: ~``target_docs_per_file`` rows per file), COMMITS the pointer
+    with the atomic stats.json replace, then garbage-collects all older
+    generations. A crash before the commit leaves only orphan g+1 dirs that
+    the next compaction overwrites; readers resolve paths through the
+    committed pointer (manifest.data_dir), so a half-written generation is
+    never observable. Reload IndexHandles after compacting (same contract
+    as after a merge).
+
+    Segments are NOT compacted here: both the batch build and the
+    incremental merge already rewrite affected bucket partitions whole
+    (dynamic partition overwrite, term-sorted), so their file count is
+    bounded by n_buckets."""
+    import shutil
+
+    stats = mf.read_stats(index_dir)
+    g = int(stats.get("generation", 0))
+    new_g = g + 1
+    out = {"generation": new_g}
+
+    doc_map_src = mf.data_dir(index_dir, "doc_map", g)
+    doc_map = spark.read.parquet(doc_map_src)
+    n_docs = doc_map.count()
+    n_files = max(1, -(-n_docs // target_docs_per_file))
+    (
+        doc_map.repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(mf.data_dir(index_dir, "doc_map", new_g))
+    )
+    out["doc_map_files"] = n_files
+
+    pos_src = mf.data_dir(index_dir, "positions", g)
+    if _exists(pos_src):
+        (
+            spark.read.parquet(pos_src)
+            .repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(mf.data_dir(index_dir, "positions", new_g))
+        )
+        out["positions_compacted"] = True
+
+    stats["generation"] = new_g
+    mf.write_stats(index_dir, stats)  # commit point (atomic replace)
+
+    for name in ("doc_map", "positions"):
+        for old_g in range(new_g):
+            p = mf.data_dir(index_dir, name, old_g)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+    return out

@@ -60,6 +60,24 @@ def completed_buckets(index_dir: str) -> dict[int, dict]:
     return out
 
 
+def data_dir(index_dir: str, name: str, generation: int | None = None) -> str:
+    """Path of a generational data store (``doc_map`` / ``positions``).
+
+    Incremental merges APPEND to these stores; compaction rewrites them as
+    generation g+1 and commits the pointer via stats.json, so readers resolve
+    paths through the committed generation and never observe a half-written
+    rewrite. Generation 0 is the bare name (backward compatible with
+    pre-generation indexes); g > 0 is ``{name}_g{g}``. ``generation=None``
+    resolves from stats.json (0 if absent)."""
+    if generation is None:
+        try:
+            generation = int(read_stats(index_dir).get("generation", 0))
+        except FileNotFoundError:
+            generation = 0
+    suffix = name if generation == 0 else f"{name}_g{generation}"
+    return os.path.join(index_dir, suffix)
+
+
 def write_stats(index_dir: str, stats: dict) -> None:
     os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, "stats.json.tmp")

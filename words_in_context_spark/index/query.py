@@ -44,6 +44,8 @@ class IndexHandle:
     # positional-store generation (0 = none/pre-versioning; 2 = +tok_ids);
     # see index/build.py POSITIONS_SCHEMA_VERSION
     positions_schema: int = 0
+    # compaction generation of the append-mode stores (manifest.data_dir)
+    generation: int = 0
 
     def __post_init__(self) -> None:
         # hot-postings cache for the interactive path: term → EncodedPostings
@@ -63,7 +65,11 @@ class IndexHandle:
 
     @property
     def doc_map_path(self) -> str:
-        return os.path.join(self.index_dir, "doc_map")
+        return mf.data_dir(self.index_dir, "doc_map", self.generation)
+
+    @property
+    def positions_path(self) -> str:
+        return mf.data_dir(self.index_dir, "positions", self.generation)
 
 
 def load_index(index_dir: str) -> IndexHandle:
@@ -75,6 +81,7 @@ def load_index(index_dir: str) -> IndexHandle:
         n_buckets=int(stats["n_buckets"]),
         n_salts=int(stats["n_salts"]),
         positions_schema=int(stats.get("positions_schema", 0)),
+        generation=int(stats.get("generation", 0)),
     )
 
 
@@ -317,7 +324,7 @@ def occurrences(
     extract_words.py:421): per (doc, term), the ordered line/cue indices of
     every occurrence. Requires the index to have been built
     ``with_positions=True``. Bucket-pruned scan, same layout as segments."""
-    path = os.path.join(h.index_dir, "positions")
+    path = h.positions_path
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
     return (
         spark.read.parquet(path)
@@ -342,7 +349,7 @@ def cooccurrence_topk(
     pruned positional scan → explode line ids → per-(doc, line) distinct-term
     count → filter count == |terms| → per-doc aggregation → top-k."""
     terms = sorted(set(terms))
-    path = os.path.join(h.index_dir, "positions")
+    path = h.positions_path
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
     occ = (
         spark.read.parquet(path)
@@ -395,7 +402,7 @@ def phrase_matches_index(
             f"{h.positions_schema} < 2); rebuild with_positions=True to "
             "enable index-backed phrase search"
         )
-    path = os.path.join(h.index_dir, "positions")
+    path = h.positions_path
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in set(phrase)})
     pos = (
         spark.read.parquet(path)

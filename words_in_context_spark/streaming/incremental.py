@@ -135,7 +135,8 @@ def merge_docs_into_index(
     avgdl = float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
     n_salts = int(stats["n_salts"])
-    doc_map_path = os.path.join(index_dir, "doc_map")
+    generation = int(stats.get("generation", 0))
+    doc_map_path = mf.data_dir(index_dir, "doc_map", generation)
     seg_path = os.path.join(index_dir, "segments")
 
     doc_map = spark.read.parquet(doc_map_path)
@@ -202,9 +203,11 @@ def merge_docs_into_index(
         )
     )
     out = untouched.unionByName(merged)
-    out.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(seg_path)
+    # term-sorted within each rewritten bucket file, same as the batch build:
+    # row-group min/max stats keep pruning term lookups after merges too
+    out.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(seg_path)
 
     # Replay-idempotency ordering: doc_map is appended LAST of the data
     # writes — it is the replay gate (the anti-join above), so every earlier
@@ -217,7 +220,7 @@ def merge_docs_into_index(
     # only ADD rows — append, no rewrite; anti-join by doc_id so a replayed
     # attempt that already appended them (then crashed before the doc_map
     # append) never duplicates rows
-    positions_path = os.path.join(index_dir, "positions")
+    positions_path = mf.data_dir(index_dir, "positions", generation)
     if os.path.exists(positions_path):
         from ..index.build import POSITIONS_SCHEMA_VERSION
         from ..index.build import bucket_expr as _bexpr
