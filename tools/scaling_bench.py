@@ -142,10 +142,30 @@ def main() -> None:
         (best_hi["docs_per_sec"] / best_lo["docs_per_sec"]) / 4.0, 3
     )
     eff_median = median_pair["efficiency"]
+    # GATE: a robust statistic over evidently-unthrottled samples — the
+    # median efficiency of pairs whose busy_cores confirms BOTH runs actually
+    # used their pinned cores (>= 90% of the core count; a throttled run
+    # shows busy_cores well below its pin with iowait=steal=0). Capacity
+    # (best-per-level ratio) stays reported as supplementary — maxima over
+    # noisy samples are biased optimistic, so it no longer decides PASS.
+    # With zero clean pairs the all-pairs median gates, flagged in output.
+    import statistics
+
+    def _clean(run: dict, cores: int) -> bool:
+        return float(run.get("busy_cores", 0)) >= 0.9 * cores
+
+    clean_pairs = [
+        p for p in pairs if _clean(p["lo"], 2) and _clean(p["hi"], 8)
+    ]
+    gate_pairs = clean_pairs or pairs
+    eff_gate = round(
+        statistics.median(p["efficiency"] for p in gate_pairs), 3
+    )
     result = {
         "metric": "index_build_scaling_efficiency",
         "n_docs": n_docs,
         "pairs": [p["efficiency"] for p in pairs],
+        "clean_pairs": [p["efficiency"] for p in clean_pairs],
         "runs": [
             {"level": lvl, **p[k]}
             for p in pairs
@@ -154,10 +174,15 @@ def main() -> None:
         "local2": best_lo,
         "local8": best_hi,
         "speedup": round(best_hi["docs_per_sec"] / best_lo["docs_per_sec"], 2),
-        "efficiency": eff_capacity,
+        "efficiency": eff_gate,
+        "efficiency_gate_basis": (
+            f"median of {len(clean_pairs)} busy_cores-clean pairs"
+            if clean_pairs else "median of ALL pairs (no clean pair observed)"
+        ),
+        "efficiency_capacity": eff_capacity,
         "efficiency_median": eff_median,
         "threshold": 0.8,
-        "pass": eff_capacity >= 0.8,
+        "pass": eff_gate >= 0.8,
     }
     print(json.dumps(result))
 
@@ -188,8 +213,8 @@ host-throttled, not engine-limited — iowait and steal are 0 throughout):
 |---|---|---|---|
 {_runs_table(result['runs'])}
 
-Best-per-level (capacity — the hypervisor's throttling is one-sided, so the
-per-level best estimates unthrottled capacity):
+Best-per-level (capacity — supplementary only: maxima over noisy samples
+are biased optimistic, so capacity no longer decides PASS):
 
 | parallelism | wall (s) | docs/sec |
 |---|---|---|
@@ -197,15 +222,16 @@ per-level best estimates unthrottled capacity):
 | local[8] (4N) | {result['local8']['sec']} | {result['local8']['docs_per_sec']} |
 
 Pair efficiencies (interleaved back-to-back lo/hi): {result['pairs']};
-median {result['efficiency_median']} (conservative — biased low under
-one-sided throttling). N=2/4N=8 because a pure-CPU probe shows the
+busy_cores-clean pairs (both runs ≥90% of their pinned cores busy):
+{result['clean_pairs']}. N=2/4N=8 because a pure-CPU probe shows the
 hypervisor itself only scales 0.68× from 8→32 threads; each level
 hard-pinned with taskset — see module docstring.
 
-**speedup 2→8 (capacity): {result['speedup']}×; scaling efficiency =
-(throughput@4N / throughput@N) / 4 = {result['efficiency']}**
+**speedup 2→8 (capacity): {result['speedup']}×; GATED scaling efficiency =
+{result['efficiency']} ({result['efficiency_gate_basis']})**
 (threshold ≥ 0.8 → {"PASS" if result['pass'] else "FAIL"};
-median-pair estimate {result['efficiency_median']})
+supplementary: capacity {result['efficiency_capacity']},
+all-pairs median {result['efficiency_median']})
 
 ## Headline query suite
 

@@ -61,6 +61,38 @@ IRREGULAR: dict[str, str] = {
     "struck": "strike", "sworn": "swear", "swore": "swear",
     "taught": "teach", "tore": "tear", "torn": "tear",
     "dying": "die", "lying": "lie", "tying": "tie",
+    # second batch of irregular verbs (r3 breadth extension; forms whose
+    # surface is UNAMBIGUOUSLY an inflection are included — homographs of
+    # base verbs/nouns like "lay", "bore", "wound", "rose" stay out unless
+    # already frozen into fixtures)
+    "bent": "bend", "bit": "bite", "bitten": "bite", "bled": "bleed",
+    "blew": "blow", "blown": "blow", "bound": "bind", "bred": "breed",
+    "burnt": "burn", "crept": "creep", "dealt": "deal", "dug": "dig",
+    "fed": "feed", "fled": "flee", "flung": "fling",
+    "forbade": "forbid", "forbidden": "forbid",
+    "forgave": "forgive", "forgiven": "forgive",
+    "fought": "fight", "froze": "freeze", "frozen": "freeze",
+    "hid": "hide", "hidden": "hide", "hung": "hang",
+    "knelt": "kneel", "laid": "lay", "lain": "lie", "lent": "lend",
+    "lit": "light", "rode": "ride", "ridden": "ride",
+    "rang": "ring", "rung": "ring", "sank": "sink", "sunk": "sink",
+    "shone": "shine", "shot": "shoot", "shown": "show",
+    "shrank": "shrink", "shrunk": "shrink", "slid": "slide",
+    "sold": "sell", "sought": "seek", "sped": "speed", "spelt": "spell",
+    "sprang": "spring", "stuck": "stick", "stung": "sting",
+    "stank": "stink", "strove": "strive", "swept": "sweep",
+    "swung": "swing", "wept": "weep", "wrung": "wring",
+    # adjective gradation (the reference's spaCy path collapses these;
+    # context-free choices documented: better/best → good)
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "further": "far", "furthest": "far", "farther": "far",
+    "farthest": "far", "elder": "old", "eldest": "old",
+    # irregular noun plurals (second batch)
+    "oxen": "ox", "criteria": "criterion", "phenomena": "phenomenon",
+    "analyses": "analysis", "crises": "crisis", "theses": "thesis",
+    "hypotheses": "hypothesis", "indices": "index", "matrices": "matrix",
+    "appendices": "appendix", "calves": "calf", "loaves": "loaf",
+    "thieves": "thief", "scarves": "scarf", "elves": "elf",
     # irregular noun plurals
     "men": "man", "women": "woman", "children": "child", "feet": "foot",
     "teeth": "tooth", "mice": "mouse", "geese": "goose", "wives": "wife",

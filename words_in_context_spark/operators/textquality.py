@@ -28,6 +28,25 @@ LANG_MARKERS: dict[str, list[str]] = {
     "ru": ["и", "в", "не", "на", "я", "что", "он", "это"],
     "sv": ["och", "att", "det", "som", "en", "på", "är", "av"],
     "pl": ["nie", "się", "w", "na", "i", "z", "do", "że"],
+    # breadth extension toward the reference's ~55-language langdetect
+    # coverage (extract_words.py:165-181). Markers chosen to be distinctive:
+    # bare single letters shared with high-frequency English/Romance tokens
+    # (a, e, o, i) are deliberately excluded so they can't steal votes.
+    # CJK/Korean are intentionally absent: the \\p{L}-run tokenizer has no
+    # word boundaries there — documented gap, 'und' is the honest answer.
+    "da": ["og", "jeg", "det", "at", "til", "ikke", "har", "vi"],
+    "no": ["og", "jeg", "det", "ikke", "til", "er", "som", "har"],
+    "fi": ["ja", "on", "ei", "että", "hän", "se", "mutta", "kun"],
+    "tr": ["bir", "ve", "bu", "ne", "için", "ben", "çok", "gibi"],
+    "cs": ["se", "na", "že", "je", "to", "ale", "jsem", "jako"],
+    "ro": ["și", "în", "la", "este", "nu", "cu", "pentru", "mai"],
+    "hu": ["és", "az", "nem", "hogy", "egy", "van", "meg", "már"],
+    "uk": ["і", "в", "не", "на", "що", "це", "як", "до"],
+    "el": ["και", "το", "να", "δεν", "είναι", "της", "με", "που"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini"],
+    "vi": ["của", "và", "các", "có", "được", "không", "là", "trong"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"],
+    "he": ["של", "את", "על", "לא", "זה", "אני", "הוא", "עם"],
 }
 
 
@@ -42,15 +61,20 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """(id, pred_lang, votes): argmax stopword-marker votes, tie-break by
     language code asc; 'und' (undetermined) when nothing matches."""
     toks = tokens_simple(docs, id_col, text_col)
-    votes = None
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        v = (
-            toks.where(F.col("term").isin(markers))
-            .groupBy(id_col)
-            .agg(F.count("*").alias("votes"))
-            .withColumn("lang", F.lit(lang))
-        )
-        votes = v if votes is None else votes.unionByName(v)
+    # ONE pass: broadcast the (lang, term) marker dimension and join — the
+    # per-language union-of-filters alternative scans the token table once
+    # PER LANGUAGE (23 scans at current breadth). A marker shared by two
+    # languages contributes a vote to each, same as the oracle's CTE join.
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in sorted(LANG_MARKERS.items()) for m in ms],
+        "lang string, term string",
+    )
+    votes = (
+        toks.join(F.broadcast(markers), "term")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("votes"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("lang"))
