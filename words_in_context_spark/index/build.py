@@ -329,18 +329,9 @@ def _build_index_inner(
             .parquet(os.path.join(index_dir, "segments"))
         )
         # ---- per-bucket manifest commit (metrics from the written files) ---
-        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
-        metrics = {
-            int(r["bucket"]): r
-            for r in seg.where(F.col("bucket").isin(todo))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("df").alias("n_postings"),
-                F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-            )
-            .collect()
-        }
+        metrics = _bucket_metrics(
+            spark, os.path.join(index_dir, "segments"), todo
+        )
         for b in todo:
             m = metrics.get(b)
             mf.commit_bucket(
@@ -401,6 +392,42 @@ def _build_index_inner(
 
 def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _bucket_metrics(
+    spark: SparkSession, seg_path: str, buckets: list[int]
+) -> dict[int, dict]:
+    """Manifest metrics for the given bucket partitions of the WRITTEN
+    segment store. The verify read prunes to (bucket, df) — it must never
+    re-read the posting byte columns, which are the store's entire payload
+    (measured: the old length(doc_bytes)+length(tf_bytes) aggregate made the
+    metrics job re-scan the whole index after every build/merge). ``bytes``
+    is the actual on-disk size of each committed bucket partition — the
+    honest ops metric — taken from the filesystem, no Spark job."""
+    rows = (
+        spark.read.parquet(seg_path)
+        .where(F.col("bucket").isin(buckets))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+        )
+        .collect()
+    )
+    out: dict[int, dict] = {}
+    for r in rows:
+        b = int(r["bucket"])
+        bucket_dir = os.path.join(seg_path, f"bucket={b}")
+        disk = 0
+        if os.path.isdir(bucket_dir):
+            for f in os.listdir(bucket_dir):
+                disk += os.path.getsize(os.path.join(bucket_dir, f))
+        out[b] = {
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "bytes": int(disk),
+        }
+    return out
 
 
 def compact_index(

@@ -267,19 +267,11 @@ def merge_docs_into_index(
 
     new_map.write.mode("append").parquet(doc_map_path)
 
-    # refresh manifest metrics for affected buckets + stats
-    seg = spark.read.parquet(seg_path)
-    metrics = {
-        int(r["bucket"]): r
-        for r in seg.where(F.col("bucket").isin(affected_buckets))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-        )
-        .collect()
-    }
+    # refresh manifest metrics for affected buckets + stats (pruned read +
+    # on-disk bucket sizes — never re-reads the posting byte columns)
+    from ..index.build import _bucket_metrics
+
+    metrics = _bucket_metrics(spark, seg_path, affected_buckets)
     for b in affected_buckets:
         m = metrics.get(b)
         mf.commit_bucket(
