@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--lemmatizer", default=None,
                     help="lemmatizer registry name (e.g. 'english'); default identity")
     ap.add_argument("--query", help="comma-separated terms for a post-build smoke query")
+    ap.add_argument("--compact", action="store_true",
+                    help="run generational compaction of the append-mode "
+                         "stores (doc_map/positions) after the build/merge — "
+                         "the periodic maintenance op for incrementally-"
+                         "maintained indexes")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,6 +80,11 @@ def main() -> None:
             }
         )
     )
+
+    if args.compact:
+        from words_in_context_spark.index.build import compact_index
+
+        print(json.dumps({"compact": compact_index(spark, args.index_dir)}))
 
     if args.query:
         h = load_index(args.index_dir)

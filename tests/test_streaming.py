@@ -345,6 +345,47 @@ def test_compaction_equals_batch(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/doc_map_g1").count() == 22
 
 
+def test_compaction_never_drops_fresh_positions(spark, tmp_path):
+    """Regression (caught live in the spark-submit smoke): a freshly-built
+    positional store — never merged into, so the only _SUCCESS marker is the
+    one the builder stamps — must be MIGRATED by compaction, never skipped
+    and then GC'd. Also: compacting twice is stable."""
+    from words_in_context_spark.index.build import compact_index
+    from words_in_context_spark.index.query import (
+        load_index,
+        phrase_matches_index,
+    )
+
+    pages = generate_pages(8, seed=21)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _pages_df(spark, pages), idx,
+                n_buckets=4, n_salts=2, with_positions=True)
+    before = {
+        (r["doc_id"], r["term"])
+        for r in spark.read.parquet(f"{idx}/positions").collect()
+    }
+    assert before
+
+    res = compact_index(spark, idx)
+    assert res.get("positions_compacted") is True
+    h = load_index(idx)
+    after = {
+        (r["doc_id"], r["term"])
+        for r in spark.read.parquet(h.positions_path).collect()
+    }
+    assert after == before
+    assert phrase_matches_index(spark, h, ["the", "storm"]) is not None
+
+    res2 = compact_index(spark, idx)
+    assert res2["generation"] == 2 and res2.get("positions_compacted") is True
+    h2 = load_index(idx)
+    assert {
+        (r["doc_id"], r["term"])
+        for r in spark.read.parquet(h2.positions_path).collect()
+    } == before
+    assert not os.path.exists(f"{idx}/positions_g1")
+
+
 def test_positions_schema_generations(spark, tmp_path):
     """Positional-store generation gate: merging into a v1 store (no tok_ids)
     must REFUSE (a mixed-schema dir silently drops pre-upgrade docs from

@@ -642,6 +642,42 @@ def q_phrase_match(spark, sf_dir):
     return phrase_count(_tokens(spark, sf_dir), PHRASE)
 
 
+COOC_TERMS = ("table", "spark")
+COOC_WINDOW = 16
+
+
+def q_cooccurrence(spark, sf_dir):
+    """J2 same-line co-occurrence retrieval in its SQL-expressible driver
+    form (the engine's index-backed twin is index/query.cooccurrence_topk
+    over cue-level line_ids): the driver documents are unpunctuated prose,
+    so a 'line' is a fixed 16-token window (pos // 16 over the raw split
+    positions — the same convention as term_positions/phrase_match).
+    Documents ranked by the number of windows containing BOTH query terms;
+    global top-20 via TakeOrderedAndProject, rank over the collected rows."""
+    toks = _tokens(spark, sf_dir)
+    sel = (
+        toks.where(F.col("term").isin(*COOC_TERMS))
+        .select(
+            "doc_id",
+            F.floor(F.col("pos") / COOC_WINDOW).cast("long").alias("win"),
+            "term",
+        )
+        .distinct()
+    )
+    both = (
+        sel.groupBy("doc_id", "win")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(COOC_TERMS))
+    )
+    per_doc = both.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    top = per_doc.orderBy(F.desc("n_windows"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("n_windows"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "n_windows", "rank")
+    )
+
+
 def q_docs_for_terms(spark, sf_dir):
     """Inverted lookup: documents ranked by tf for two fixed terms."""
     tf = _tf(spark, sf_dir)
@@ -927,6 +963,7 @@ QUERIES.update(
         "phrase_match": q_phrase_match,
         "likely_names": q_likely_names,
         "sound_desc_boost": q_sound_desc_boost,
+        "cooccurrence": q_cooccurrence,
     }
 )
 
@@ -1150,6 +1187,36 @@ ORACLE_SQL.update(
 ORACLE_SQL["docs_for_terms"] = ORACLE_SQL["docs_for_terms"].replace(
     "{_TF_SQL}", _TF_SQL
 )
+
+ORACLE_SQL["cooccurrence"] = f"""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '{TOKEN_SPLIT}') AS arr
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM arrs
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS p, arr[i] AS term FROM pos WHERE arr[i] <> ''
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, p // {COOC_WINDOW} AS win, term
+      FROM toks WHERE term IN {COOC_TERMS!r}
+    ),
+    win_both AS (
+      SELECT doc_id, win FROM sel
+      GROUP BY doc_id, win HAVING count(DISTINCT term) = {len(COOC_TERMS)}
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_windows FROM win_both GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_windows, row_number() OVER (
+        ORDER BY n_windows DESC, doc_id ASC) AS rank
+      FROM per_doc
+    )
+    SELECT doc_id, n_windows, rank FROM ranked WHERE rank <= 20
+"""
 
 ORACLE_SQL["phrase_match"] = f"""
     WITH arrs AS (

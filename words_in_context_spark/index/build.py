@@ -328,6 +328,7 @@ def _build_index_inner(
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, "segments"))
         )
+        _touch_success(os.path.join(index_dir, "segments"))
         # ---- per-bucket manifest commit (metrics from the written files) ---
         metrics = _bucket_metrics(
             spark, os.path.join(index_dir, "segments"), todo
@@ -373,6 +374,7 @@ def _build_index_inner(
                 .partitionBy("bucket")
                 .parquet(positions_path)
             )
+            _touch_success(positions_path)
 
     mf.write_stats(
         index_dir,
@@ -392,6 +394,16 @@ def _build_index_inner(
 
 def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _touch_success(path: str) -> None:
+    """Partitioned writes under partitionOverwriteMode=dynamic do NOT emit a
+    root _SUCCESS marker (Spark commits per-partition via staging). The
+    write() call returning IS the commit, so stamp the marker explicitly —
+    resume checks (_exists) and compaction migration depend on it. (Caught
+    live: a freshly-built positions store had no marker, so compaction
+    skipped migrating it and the generation GC deleted it.)"""
+    open(os.path.join(path, "_SUCCESS"), "a").close()
 
 
 def _bucket_metrics(
@@ -473,22 +485,33 @@ def compact_index(
     )
     out["doc_map_files"] = n_files
 
+    migrated = ["doc_map"]
+
     pos_src = mf.data_dir(index_dir, "positions", g)
-    if _exists(pos_src):
+    # migrate by DIRECTORY presence, not the _SUCCESS marker: dynamic
+    # partition overwrite commits without a root marker (now stamped by
+    # _touch_success at every writer, but indexes built before the stamp
+    # exist) — and a store that is not migrated must NEVER be GC'd.
+    if os.path.isdir(pos_src) and os.listdir(pos_src):
+        pos_dst = mf.data_dir(index_dir, "positions", new_g)
         (
             spark.read.parquet(pos_src)
             .repartition("bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(mf.data_dir(index_dir, "positions", new_g))
+            .parquet(pos_dst)
         )
+        _touch_success(pos_dst)
         out["positions_compacted"] = True
+        migrated.append("positions")
 
     stats["generation"] = new_g
     mf.write_stats(index_dir, stats)  # commit point (atomic replace)
 
-    for name in ("doc_map", "positions"):
+    # GC strictly the MIGRATED stores' older generations — deleting a
+    # non-migrated name would destroy its only copy
+    for name in migrated:
         for old_g in range(new_g):
             p = mf.data_dir(index_dir, name, old_g)
             if os.path.isdir(p):

@@ -208,6 +208,9 @@ def merge_docs_into_index(
     out.repartition("bucket").sortWithinPartitions("term").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(seg_path)
+    from ..index.build import _touch_success
+
+    _touch_success(seg_path)
 
     # Replay-idempotency ordering: doc_map is appended LAST of the data
     # writes — it is the replay gate (the anti-join above), so every earlier
@@ -264,6 +267,7 @@ def merge_docs_into_index(
             .partitionBy("bucket")
             .parquet(positions_path)
         )
+        _touch_success(positions_path)
 
     new_map.write.mode("append").parquet(doc_map_path)
 
