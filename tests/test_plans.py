@@ -35,6 +35,31 @@ def test_flagship_broadcasts_df_dim(spark):
     assert "n_chars" not in rs and "source" not in rs
 
 
+def test_flagship_serves_from_forward_index(spark):
+    """The 100TB serving invariant: tfidf/bm25 scan the materialized
+    forward index, never the raw corpus — 'text' must not appear in any
+    ReadSchema; the df-aggregate branch must be column-pruned to term only;
+    and the per-doc rank must be limited map-side (WindowGroupLimit Partial
+    before the exchange — Spark's top-k-per-group pushdown)."""
+    from words_in_context_spark.driver_queries import (
+        _forward,
+        q_bm25_topk,
+        q_tfidf_topk,
+    )
+
+    _forward(spark, SF001)  # ensure the cache exists so plans read it
+    for q in (q_tfidf_topk, q_bm25_topk):
+        df = q(spark, SF001)
+        rs = read_schema(df)
+        assert "text" not in rs, f"{q.__name__} re-tokenizes the corpus"
+        assert "wics_fwd" in plan_string(df, mode="simple") or "fwd" in (
+            plan_string(df, mode="simple")
+        )
+    plan = plan_string(q_tfidf_topk(spark, SF001))
+    assert "WindowGroupLimit" in plan, plan  # map-side per-doc top-k
+    assert "struct<term:string>" in read_schema(q_tfidf_topk(spark, SF001))
+
+
 def test_revenue_join_broadcasts_dims(spark):
     from words_in_context_spark.driver_queries import q_revenue_by_nation
 
