@@ -20,7 +20,10 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
-    ap.add_argument("--input", help="parquet dir of pages (url, text, lang[, html])")
+    ap.add_argument("--input", help="pages source: parquet dir OR catalog "
+                                    "table name (spark.read.table — e.g. an "
+                                    "Iceberg table on a cluster with the "
+                                    "Iceberg runtime)")
     ap.add_argument("--gen-docs", type=int, help="synthesize N seeded docs instead")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n-buckets", type=int, default=32)
@@ -48,7 +51,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.input:
-        docs = spark.read.parquet(args.input)
+        from words_in_context_spark.corpus import read_pages
+
+        docs = read_pages(spark, args.input)
         n_docs = None
     elif args.gen_docs:
         docs = pages_dataframe(spark, args.gen_docs, seed=args.seed)

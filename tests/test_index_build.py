@@ -345,3 +345,52 @@ def test_phrase_from_index_equals_token_path(spark, tmp_path_factory):
         }
         assert via_index == via_tokens, phrase
     assert phrase_matches_index(spark, h, bigram).count() > 0
+
+
+def test_catalog_table_source_builds_identical_index(spark, tmp_path):
+    """The north rule's input is an Iceberg TABLE: read_pages serves catalog
+    tables via spark.read.table — exercised here with a managed parquet
+    table (the Iceberg runtime jar is absent from this image; the API call
+    and plan shape are identical). Index built from the table must equal the
+    one built from the same rows read as parquet."""
+    from words_in_context_spark.corpus import generate_pages, read_pages
+    from words_in_context_spark.index.build import build_index
+    from words_in_context_spark.index.query import (
+        _row_to_encoded,
+        load_index,
+        query_topk_local,
+    )
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pages = generate_pages(10, seed=63)
+    df = spark.createDataFrame(
+        [(p["url"], p["text"], p["lang"]) for p in pages],
+        "url string, text string, lang string",
+    )
+    pq = str(tmp_path / "pages_pq")
+    df.write.parquet(pq)
+    spark.sql("DROP TABLE IF EXISTS wics_pages_test")
+    df.write.saveAsTable("wics_pages_test")
+    try:
+        idx_a = str(tmp_path / "idx_pq")
+        idx_b = str(tmp_path / "idx_tbl")
+        build_index(spark, read_pages(spark, pq), idx_a,
+                    n_buckets=4, n_salts=2)
+        build_index(spark, read_pages(spark, "wics_pages_test"), idx_b,
+                    n_buckets=4, n_salts=2)
+
+        def content(ix):
+            seg = spark.read.parquet(f"{ix}/segments")
+            return {
+                r["term"]: decode_postings(
+                    _row_to_encoded(r.asDict())
+                )[0].tolist()
+                for r in seg.collect()
+            }
+
+        assert content(idx_a) == content(idx_b)
+        assert query_topk_local(
+            spark, load_index(idx_a), ["storm", "the"], k=5
+        ) == query_topk_local(spark, load_index(idx_b), ["storm", "the"], k=5)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wics_pages_test")

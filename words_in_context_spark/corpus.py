@@ -196,3 +196,24 @@ def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None =
             "text string, lang string"
         ),
     )
+
+
+def read_pages(spark, source: str):
+    """Source seam for the pages corpus: a filesystem path reads parquet; any
+    other string is a CATALOG TABLE read via ``spark.read.table`` — the exact
+    call used for an Iceberg table once the cluster image ships the Iceberg
+    runtime + catalog config (`spark.read.table("iceberg.db.pages")`), with
+    Iceberg's partition pruning and scan pushdown arriving through the same
+    DataFrame plan. This sandbox has no Iceberg jar (environment-blocked,
+    like spaCy), so the catalog path is exercised in tests with a managed
+    parquet-backed table — the API surface is identical.
+
+    The north rule's input is an Iceberg table of (url, warc_ts, html, text,
+    lang); this is the single entry point jobs use so the swap is config,
+    not code."""
+    looks_like_path = (
+        "/" in source or source.startswith(".") or source.endswith(".parquet")
+    )
+    if looks_like_path:
+        return spark.read.parquet(source)
+    return spark.read.table(source)
