@@ -444,6 +444,67 @@ def test_positions_schema_generations(spark, tmp_path):
         phrase_matches_index(spark, h, ["the", "storm"])
 
 
+def test_random_merge_compact_sequences_equal_batch(spark, tmp_path):
+    """Property-style: for several seeded random interleavings of merges and
+    compactions, the final index content equals a single batch build over
+    the union (postings AND positional store), and queries serve identically
+    from whatever generation is live."""
+    import random as _random
+
+    from words_in_context_spark.index.build import build_index as _bi
+    from words_in_context_spark.index.build import compact_index
+    from words_in_context_spark.index.query import (
+        _row_to_encoded,
+        load_index,
+    )
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pages = generate_pages(20, seed=99)
+    batch = str(tmp_path / "batch")
+    _bi(spark, _pages_df(spark, pages), batch,
+        n_buckets=4, n_salts=2, with_positions=True)
+
+    def postings(ix_dir):
+        seg = spark.read.parquet(f"{ix_dir}/segments")
+        return {
+            r["term"]: list(zip(*[
+                a.tolist()
+                for a in decode_postings(_row_to_encoded(r.asDict()))
+            ]))
+            for r in seg.collect()
+        }
+
+    def positions(h):
+        return {
+            (r["doc_id"], r["term"]): list(r["tok_ids"])
+            for r in spark.read.parquet(h.positions_path).collect()
+        }
+
+    want_post = postings(batch)
+    want_pos = positions(load_index(batch))
+
+    for trial in range(2):
+        rng = _random.Random(trial)
+        idx = str(tmp_path / f"inc{trial}")
+        _bi(spark, _pages_df(spark, pages[:5]), idx,
+            n_buckets=4, n_salts=2, with_positions=True)
+        i = 5
+        while i < len(pages):
+            step = rng.choice([3, 5])
+            merge_docs_into_index(
+                spark, _pages_df(spark, pages[i:i + step]), idx
+            )
+            i += step
+            if rng.random() < 0.5:
+                compact_index(spark, idx)
+        if rng.random() < 0.5:
+            compact_index(spark, idx)
+        h = load_index(idx)
+        assert postings(idx) == want_post, f"trial {trial} postings diverge"
+        assert positions(h) == want_pos, f"trial {trial} positions diverge"
+        assert h.n_docs == len(pages)
+
+
 class _FakeState:
     """Minimal GroupState stub for unit-testing the dedup state machine."""
 
