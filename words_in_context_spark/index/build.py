@@ -234,6 +234,15 @@ def build_index(
         "spark.sql.shuffle.partitions",
         str(max(int(prev_shuffle), 4 * spark.sparkContext.defaultParallelism)),
     )
+    # The tokenize stage is the build's Python-heavy map: its parallelism is
+    # the INPUT partition count, and parquet's size-based split packing turns
+    # a small-file corpus into 1-4 read partitions (measured: a 10k-doc
+    # corpus tokenized on ~2 tasks of a 32-slot session — the stage ran near
+    # serial). When the scan can't feed every slot, widen it explicitly; at
+    # web scale input splits outnumber slots and this no-ops.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(2 * par)
     try:
         return _build_index_inner(
             spark, docs, index_dir, n_buckets, n_salts,
