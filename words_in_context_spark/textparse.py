@@ -112,12 +112,14 @@ def extract_srt_lines(text: str, separator: str = "") -> list[str]:
     started = False
     cue_num = 0
     saw_timestamp = False
-    buf = ""
+    buf_parts: list[str] = []
 
     def _flush(strip_tags: bool) -> str:
+        buf = "".join(buf_parts)
         body = _TAG_RE.sub("", buf).strip() if strip_tags else buf
         return body.strip().replace("\n", " ") + separator
 
+    ts_search = _TIMESTAMP_RE.search  # hot loop: bind lookups once
     for raw in text.splitlines():
         if not started:
             head = raw.replace(_BOM, "").strip()
@@ -132,11 +134,13 @@ def extract_srt_lines(text: str, separator: str = "") -> list[str]:
             out.append(_flush(strip_tags=True))
             cue_num += 1
             saw_timestamp = False
-            buf = ""
-        elif _TIMESTAMP_RE.search(line):
+            buf_parts.clear()
+        # '-->' containment is a C-speed pre-filter: the full timestamp regex
+        # only runs on lines that can possibly match (text lines dominate)
+        elif "-->" in line and ts_search(line):
             saw_timestamp = True
-        elif has_alpha(line) and saw_timestamp:
-            buf += line + " "
+        elif saw_timestamp and has_alpha(line):
+            buf_parts.append(line + " ")
 
     if saw_timestamp:
         out.append(_flush(strip_tags=False))

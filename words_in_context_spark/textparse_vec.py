@@ -42,7 +42,7 @@ class _UniqueTokenInfo:
     predicate functions (parity by construction)."""
 
     __slots__ = ("open_b", "close_b", "dash", "endsent", "alpha", "namecase",
-                 "apos_de", "lower", "parts", "lemma_parts")
+                 "apos_de", "lower", "parts", "lemma_parts", "n_parts")
 
     def __init__(self, uniques: np.ndarray, lemmatizer=None):
         n = len(uniques)
@@ -55,6 +55,7 @@ class _UniqueTokenInfo:
         self.apos_de = np.empty(n, dtype=bool)
         self.lower = np.empty(n, dtype=object)
         self.parts = np.empty(n, dtype=object)  # normalized alpha parts
+        self.n_parts = np.empty(n, dtype=np.int64)  # len(parts), O(1) gather
         # lemmatized twin of parts, computed once per UNIQUE token (T1 seam)
         self.lemma_parts = self.parts if lemmatizer is None else np.empty(
             n, dtype=object
@@ -70,6 +71,7 @@ class _UniqueTokenInfo:
             self.lower[i] = raw.lower()
             parts = _NON_WORD_RE.sub(" ", raw.lower()).split()
             self.parts[i] = [p for p in parts if has_alpha(p)]
+            self.n_parts[i] = len(self.parts[i])
             if lemmatizer is not None:
                 self.lemma_parts[i] = [lemmatizer(p) for p in self.parts[i]]
 
@@ -163,25 +165,22 @@ def tokenize_batch(
     # per emitted raw token: list of emitted terms
     codes_e = codes[idx]
     apos_e = apos[idx]
-    n_parts = np.where(
-        apos_e, 1, np.fromiter((len(info.parts[c]) for c in codes_e),
-                               dtype=np.int64, count=idx.size)
-    )
+    n_parts = np.where(apos_e, 1, info.n_parts[codes_e])
     keep = n_parts > 0
     idx, codes_e, apos_e, n_parts = idx[keep], codes_e[keep], apos_e[keep], n_parts[keep]
     if idx.size == 0:
         return pd.DataFrame(columns=TOKEN_COLS)
 
-    terms = np.empty(int(n_parts.sum()), dtype=object)
-    w = 0
-    for c, a, k in zip(codes_e, apos_e, n_parts):
-        if a:
-            terms[w] = info.lower[c]
-            w += 1
-        else:
-            for p in info.lemma_parts[c]:
-                terms[w] = p
-                w += 1
+    from itertools import chain
+
+    terms = np.fromiter(
+        chain.from_iterable(
+            (info.lower[c],) if a else info.lemma_parts[c]
+            for c, a in zip(codes_e, apos_e)
+        ),
+        dtype=object,
+        count=int(n_parts.sum()),
+    )
 
     rep = np.repeat(np.arange(idx.size), n_parts)  # part → emitted-token row
     src = idx[rep]  # part → raw-token row
