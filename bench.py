@@ -32,7 +32,17 @@ HEADLINE = [
     "events_hourly",
 ]
 
-INDEX_BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
+# 50k default: at 10k the ~4-5 s of fixed cost (session, 7 jobs, manifest
+# commits) dominates and docs/s understates sustained throughput (~1.6-3k
+# docs/s at 500k); the corpus is pre-materialized and cached, so only the
+# first run pays synthesis.
+INDEX_BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+# Latency probes (bm25_p50_ms*) run against a FIXED-size index so the metric
+# stays comparable across rounds regardless of the throughput corpus size —
+# p50 scales ~linearly with posting length, so measuring it on the (now
+# larger) build corpus would read as a regression when it's corpus growth.
+LATENCY_PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_DOCS", "10000"))
 
 
 def _run_to_completion(df) -> int:
@@ -65,9 +75,13 @@ def main() -> None:
     # parquet): the serving model — queries scan the term-doc table, never the
     # raw corpus. A FRESH cache dir is forced so this cost is always measured
     # and reported (forward_build), never hidden by a previous run's cache.
+    import atexit
+    import shutil as _sh_mod
     import tempfile as _tf_mod
 
-    os.environ["WICS_FWD_CACHE"] = _tf_mod.mkdtemp(prefix="wics_fwd_bench_")
+    _fwd_dir = _tf_mod.mkdtemp(prefix="wics_fwd_bench_")
+    os.environ["WICS_FWD_CACHE"] = _fwd_dir
+    atexit.register(_sh_mod.rmtree, _fwd_dir, ignore_errors=True)
     from words_in_context_spark.driver_queries import _forward
 
     t0 = time.time()
@@ -120,8 +134,11 @@ def main() -> None:
     # Corpus pre-materialized OUTSIDE the timed window (same protocol as
     # tools/scaling_bench.py): the measured job is the index build from an
     # existing pages table, as on a real cluster — not Python SRT synthesis.
+    from words_in_context_spark.corpus import CORPUS_VERSION
+
     corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"wics_bench_corpus_{INDEX_BUILD_DOCS}_42"
+        tempfile.gettempdir(),
+        f"wics_bench_corpus_{CORPUS_VERSION}_{INDEX_BUILD_DOCS}_42",
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         pages_dataframe(spark, INDEX_BUILD_DOCS, seed=42).write.mode(
@@ -137,7 +154,27 @@ def main() -> None:
         "docs_per_sec": round(INDEX_BUILD_DOCS / build_sec, 1),
     }
 
-    # BM25 top-k query latency p50: block-max WAND over the built index
+    # BM25 top-k query latency p50: block-max WAND over a FIXED 10k-doc index
+    # (LATENCY_PROBE_DOCS — round-over-round comparable; see note above).
+    # Two regimes, both reported: HOT keeps postings resident in the handle's
+    # term cache after the first call (the stated serving model — kernel time
+    # only); COLD invalidates the cache before every call, so each iteration
+    # pays the pruned-parquet fetch + decode alongside the kernel.
+    if LATENCY_PROBE_DOCS != INDEX_BUILD_DOCS:
+        probe_corpus = os.path.join(
+            tempfile.gettempdir(),
+            f"wics_bench_corpus_{CORPUS_VERSION}_{LATENCY_PROBE_DOCS}_42",
+        )
+        if not os.path.exists(os.path.join(probe_corpus, "_SUCCESS")):
+            pages_dataframe(spark, LATENCY_PROBE_DOCS, seed=42).write.mode(
+                "overwrite"
+            ).parquet(probe_corpus)
+        idx_dir = os.path.join(tempfile.gettempdir(), "wics_bench_index_probe")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(
+            spark, spark.read.parquet(probe_corpus), idx_dir,
+            n_buckets=32, n_salts=8,
+        )
     h = load_index(idx_dir)
     lat = []
     for _ in range(7):
@@ -145,6 +182,13 @@ def main() -> None:
         query_topk_local(spark, h, ["storm", "lantern", "the"], k=10)
         lat.append(time.time() - t0)
     bm25_p50_ms = round(statistics.median(lat) * 1000, 1)
+    lat_c = []
+    for _ in range(7):
+        h.invalidate()
+        t0 = time.time()
+        query_topk_local(spark, h, ["storm", "lantern", "the"], k=10)
+        lat_c.append(time.time() - t0)
+    bm25_p50_ms_cold = round(statistics.median(lat_c) * 1000, 1)
 
     # Selective-query p50 on a LONG-TAIL corpus (tail_vocab Zipf tail →
     # realistic df skew): a rare term + stopwords is the regime where
@@ -154,11 +198,12 @@ def main() -> None:
     tail_idx = os.path.join(tempfile.gettempdir(), "wics_bench_index_tail")
     shutil.rmtree(tail_idx, ignore_errors=True)
     tail_corpus = os.path.join(
-        tempfile.gettempdir(), f"wics_bench_corpus_tail_{INDEX_BUILD_DOCS}_42"
+        tempfile.gettempdir(),
+        f"wics_bench_corpus_tail_{CORPUS_VERSION}_{LATENCY_PROBE_DOCS}_42",
     )
     if not os.path.exists(os.path.join(tail_corpus, "_SUCCESS")):
         pages_dataframe(
-            spark, INDEX_BUILD_DOCS, seed=42, tail_vocab=50_000
+            spark, LATENCY_PROBE_DOCS, seed=42, tail_vocab=50_000
         ).write.mode("overwrite").parquet(tail_corpus)
     tail_docs = spark.read.parquet(tail_corpus)
     build_index(spark, tail_docs, tail_idx, n_buckets=32, n_salts=8)
@@ -193,6 +238,7 @@ def main() -> None:
                 "index_build": index_build,
                 "forward_build_sec": forward_build_sec,
                 "bm25_p50_ms": bm25_p50_ms,
+                "bm25_p50_ms_cold": bm25_p50_ms_cold,
                 "bm25_p50_ms_tail": bm25_p50_ms_tail,
             }
         )

@@ -37,7 +37,7 @@ _CHILD = """
 import json, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from words_in_context_spark.session import get_spark
-from words_in_context_spark.corpus import pages_dataframe
+from words_in_context_spark.corpus import CORPUS_VERSION, pages_dataframe
 from words_in_context_spark.index.build import build_index
 
 def cpu_jiffies():
@@ -56,7 +56,7 @@ spark.range(10_000).mapInPandas(lambda it: it, "id long").write.mode(
 idx = f"/tmp/wics_scaling_idx_{{cores}}"
 # input table pre-materialized OUTSIDE the timed window: the measured job is
 # the index build from an existing pages table, as on a real cluster
-corpus = f"/tmp/wics_scaling_corpus_{{n_docs}}"
+corpus = f"/tmp/wics_scaling_corpus_{{CORPUS_VERSION}}_{{n_docs}}"
 import os
 if not os.path.exists(corpus + "/_SUCCESS"):
     pages_dataframe(spark, n_docs, seed=42).repartition(64).write.mode(

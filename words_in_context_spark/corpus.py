@@ -17,7 +17,13 @@ external data.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
+
+# Bumped whenever pages_dataframe's synthesis logic changes — cache dirs
+# keyed on (CORPUS_VERSION, n_docs, seed, ...) then invalidate automatically
+# (bench.py, tools/scaling_bench.py).
+CORPUS_VERSION = "c1"
 
 # A compact vocabulary; Zipf-ranked so head terms exist (skew-handling must
 # have something to handle). Names are NameCase-only by construction.
@@ -212,7 +218,13 @@ def read_pages(spark, source: str):
     lang); this is the single entry point jobs use so the swap is config,
     not code."""
     looks_like_path = (
-        "/" in source or source.startswith(".") or source.endswith(".parquet")
+        "/" in source
+        or source.startswith(".")
+        or source.endswith(".parquet")
+        # a bare relative directory name ('pages_out') must not silently
+        # route to spark.read.table — an unrelated AnalysisException at best,
+        # a same-named managed table's data at worst
+        or os.path.exists(source)
     )
     if looks_like_path:
         return spark.read.parquet(source)

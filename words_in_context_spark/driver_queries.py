@@ -107,10 +107,22 @@ def _forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache and compute the forward table inline."""
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     try:
-        st = os.stat(src)
+        if os.path.isdir(src):
+            # a directory's own stat is useless as a change signal (st_size is
+            # the inode size; in-place rewrite of an existing part file keeps
+            # name/count and may not touch directory mtime) — key on the
+            # sorted per-file listing instead
+            sig = ";".join(
+                f"{e.name}:{e.stat().st_size}:{e.stat().st_mtime_ns}"
+                for e in sorted(os.scandir(src), key=lambda e: e.name)
+                if e.is_file()
+            )
+        else:
+            st = os.stat(src)
+            sig = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         return _tf_dl(spark, sf_dir)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_FWD_VERSION}|{TOKEN_SPLIT}"
+    key = f"{src}|{sig}|{_FWD_VERSION}|{TOKEN_SPLIT}"
     root = os.environ.get(
         "WICS_FWD_CACHE", os.path.join(tempfile.gettempdir(), "wics_fwd_cache")
     )

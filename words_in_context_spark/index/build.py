@@ -514,9 +514,16 @@ def compact_index(
     # exist) — and a store that is not migrated must NEVER be GC'd.
     if os.path.isdir(pos_src) and os.listdir(pos_src):
         pos_dst = mf.data_dir(index_dir, "positions", new_g)
+        # mergeSchema: a pre-versioning MIXED store (v1 files without tok_ids
+        # plus later v2 appends — the hazard the merge gate in
+        # streaming/incremental.py documents) must not be rewritten from one
+        # sampled parquet footer, which would drop or null tok_ids before the
+        # GC below deletes the only complete copy. The merged read is
+        # lossless for every store shape: pure-v1 keeps its schema, mixed
+        # keeps v1 rows as null-tok_ids rows, pure-v2 is unchanged.
+        pos_df = spark.read.option("mergeSchema", "true").parquet(pos_src)
         (
-            spark.read.parquet(pos_src)
-            .repartition("bucket")
+            pos_df.repartition("bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("bucket")
@@ -525,6 +532,19 @@ def compact_index(
         _touch_success(pos_dst)
         out["positions_compacted"] = True
         migrated.append("positions")
+        if int(stats.get("positions_schema", 0)) < POSITIONS_SCHEMA_VERSION:
+            # grace upgrade: a store written in the tok_ids era but before
+            # stats.json carried the positions_schema key loads as v0 — stamp
+            # v2 when every row in fact carries tok_ids, so index-backed
+            # phrase search keeps working after compaction of such indexes
+            if "tok_ids" in pos_df.columns and (
+                spark.read.parquet(pos_dst)
+                .where(F.col("tok_ids").isNull())
+                .limit(1)
+                .count()
+                == 0
+            ):
+                stats["positions_schema"] = POSITIONS_SCHEMA_VERSION
 
     stats["generation"] = new_g
     mf.write_stats(index_dir, stats)  # commit point (atomic replace)

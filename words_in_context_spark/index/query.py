@@ -394,15 +394,29 @@ def phrase_matches_index(
     positions); equality of the two paths is pinned in tests."""
     if not phrase:
         raise ValueError("empty phrase")
-    if h.positions_schema < 2:
-        # a v1/pre-versioning store may lack tok_ids on some files; reading
-        # it here would silently drop those documents from phrase results
-        raise ValueError(
-            "index positional store predates tok_ids (positions_schema "
-            f"{h.positions_schema} < 2); rebuild with_positions=True to "
-            "enable index-backed phrase search"
-        )
     path = h.positions_path
+    if h.positions_schema < 2:
+        # Grace check for tok_ids-era stores whose stats.json predates the
+        # positions_schema key (loads as 0): if every row in fact carries
+        # tok_ids, stamp v2 and proceed — such indexes were valid all along.
+        # The hard error stays for genuine v1 stores, where a plain read
+        # would silently drop pre-upgrade documents from phrase results.
+        from .build import POSITIONS_SCHEMA_VERSION
+
+        probe = spark.read.option("mergeSchema", "true").parquet(path)
+        if "tok_ids" in probe.columns and (
+            probe.where(F.col("tok_ids").isNull()).limit(1).count() == 0
+        ):
+            stats = mf.read_stats(h.index_dir)
+            stats["positions_schema"] = POSITIONS_SCHEMA_VERSION
+            mf.write_stats(h.index_dir, stats)
+            h.positions_schema = POSITIONS_SCHEMA_VERSION
+        else:
+            raise ValueError(
+                "index positional store predates tok_ids (positions_schema "
+                f"{h.positions_schema} < 2); rebuild with_positions=True to "
+                "enable index-backed phrase search"
+            )
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in set(phrase)})
     pos = (
         spark.read.parquet(path)
