@@ -161,8 +161,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (second scale path): k-means coarse quantizer, 4-probe cell
-    lookup, exact re-rank. No SQL oracle (iterative training) — rows-only;
-    full-probe==brute-force exactness is pinned in tests/test_pipeline_ops."""
+    lookup, exact re-rank. The oracle replays the ENTIRE deterministic
+    training in SQL (_ivf_oracle_sql: init = n_centroids smallest vec_ids,
+    3 Lloyd iterations as chained CTEs) — training is seed-free and
+    fixed-iteration (operators/similarity.ivf_train), so the two engines
+    converge to the same centroids up to summation-order ulps, which the
+    huge argmax margins of random embeddings absorb; the output cos is exact
+    re-rank against the raw vectors either way. Full-probe==brute-force
+    exactness is additionally pinned in tests/test_pipeline_ops."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -678,6 +684,100 @@ def _html_extract_sql() -> str:
 
 
 ORACLE_SQL["html_extract"] = _html_extract_sql()
+
+
+def _ivf_oracle_sql(
+    n_centroids: int = 8,
+    n_probes: int = 4,
+    k: int = 10,
+    n_iters: int = 3,
+    dim: int = _EMB_DIM,
+) -> str:
+    """DuckDB twin of q_ann_ivf_topk INCLUDING the k-means training.
+
+    ivf_train (operators/similarity.py) is deterministic and data-driven but
+    SQL-expressible because it is seed-free with a FIXED iteration count:
+    init = the n_centroids vectors with smallest ids, then n_iters rounds of
+    (assign: argmax cosine, ties → lowest cell) + (update: per-cell
+    elementwise mean, empty cells keep the previous centroid). Each round is
+    one pair of CTEs; retrieval = assignment under the final centroids,
+    per-query top-n_probes cells, exact cosine re-rank. Centroid means may
+    differ from Spark's in final ulps (summation order); every comparison
+    they feed is an argmax over random embeddings with ~1e-2 margins, and
+    the output cos is computed from the raw vectors, so the result sets are
+    identical."""
+    sql = f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id >= 5
+        ),
+        q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ),
+        dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {n_centroids})
+        )"""
+    for it in range(1, n_iters + 1):
+        prev = f"c{it - 1}"
+        sql += f""",
+        a{it} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT t.vec_id, t.v, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_cosine_similarity(t.v, c.cv) DESC,
+                              c.cell ASC) AS rn
+            FROM v t CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        ),
+        m{it} AS (
+          SELECT a.cell, d.i, avg(a.v[d.i]) AS mu
+          FROM a{it} a CROSS JOIN dims d GROUP BY a.cell, d.i
+        ),
+        c{it} AS (
+          SELECT c.cell, coalesce(m.cv, c.cv) AS cv
+          FROM {prev} c LEFT JOIN (
+            SELECT cell, list(mu ORDER BY i) AS cv FROM m{it} GROUP BY cell
+          ) m USING (cell)
+        )"""
+    final = f"c{n_iters}"
+    sql += f""",
+        assign AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT t.vec_id, t.v, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_cosine_similarity(t.v, c.cv) DESC,
+                              c.cell ASC) AS rn
+            FROM v t CROSS JOIN {final} c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                              c.cell ASC) AS rn
+            FROM q CROSS JOIN {final} c
+          ) WHERE rn <= {n_probes}
+        ),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+          FROM assign a JOIN probes p USING (cell) JOIN q USING (q_id)
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cos, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+    return sql
+
+
+ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle_sql()
 # Full-probe IVF visits every cell, so it equals brute-force kNN exactly —
 # the brute-force SQL IS its oracle (no need to replicate k-means training).
 ORACLE_SQL["ann_ivf_full_topk"] = ORACLE_SQL["ann_cosine_topk"]
