@@ -706,3 +706,115 @@ def test_phrase_grace_stamps_at_query_time(spark, tmp_path):
     assert got == expected
     assert h.positions_schema == 2  # handle upgraded in place
     assert json.load(open(stats_path))["positions_schema"] == 2  # stamped
+
+
+def test_delete_tombstone_then_compaction_equals_batch(spark, tmp_path):
+    """Deletion support (training-data pipelines re-crawl and REMOVE docs —
+    takedowns, dedup-driven drops — which the reference's append-only cache
+    cannot express): delete_docs tombstones by url; queries exclude deleted
+    docs immediately (top-k kernels' excluded set + positional anti-joins);
+    a re-delivered deleted url is NOT re-added; compact_index physically
+    purges — after it, index content (postings, positions, doc_map) equals
+    a batch build over the surviving set with the same frozen avgdl."""
+    import glob
+    import json
+
+    from words_in_context_spark.index.build import (
+        compact_index,
+        delete_docs,
+        read_tombstone_ids,
+    )
+    from words_in_context_spark.index.query import (
+        _row_to_encoded,
+        brute_force_query_local,
+        phrase_matches_index,
+    )
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pages = generate_pages(20, seed=71)
+    tranches = [pages[:8], pages[8:14], pages[14:]]
+    idx = str(tmp_path / "idx")
+    batch = str(tmp_path / "batch")
+    build_index(spark, _pages_df(spark, tranches[0]), idx,
+                n_buckets=4, n_salts=4, with_positions=True)
+    for t in tranches[1:]:
+        assert merge_docs_into_index(spark, _pages_df(spark, t), idx) == len(t)
+    frozen_avgdl = mf.read_stats(idx)["avgdl"]
+
+    victims = [pages[1], pages[9], pages[16], pages[3]]
+    victim_urls = [p["url"] for p in victims]
+    n = delete_docs(spark, idx, victim_urls + ["https://nope/x"])
+    assert n == 4
+    assert delete_docs(spark, idx, [victim_urls[0]]) == 0  # idempotent
+
+    url_to_id = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/doc_map").collect()
+    }
+    dead = {url_to_id[u] for u in victim_urls}
+    assert set(read_tombstone_ids(idx).tolist()) == dead
+
+    # logical exclusion BEFORE compaction, on every query surface
+    h = load_index(idx)
+    assert h.n_live_docs == 16
+    top = query_topk_local(spark, h, ["the", "storm"], k=20)
+    assert top and not ({d for d, _ in top} & dead)
+    assert top == brute_force_query_local(spark, h, ["the", "storm"], k=20)
+    pm = {r["doc_id"] for r in
+          phrase_matches_index(spark, h, ["the", "storm"]).collect()}
+    assert not (pm & dead)
+    from words_in_context_spark.index.query import cooccurrence_topk, query_topk
+
+    co = {r["doc_id"] for r in
+          cooccurrence_topk(spark, h, ["the", "storm"], k=50).collect()}
+    assert not (co & dead)
+    dist = {r["doc_id"] for r in
+            query_topk(spark, h, ["the", "storm"], k=20).collect()}
+    assert dist == {d for d, _ in top}
+
+    # a re-delivered deleted url must NOT be re-added before compaction
+    assert merge_docs_into_index(spark, _pages_df(spark, [victims[0]]), idx) == 0
+
+    # physical purge
+    out = compact_index(spark, idx)
+    assert out["tombstones_purged"] == 4
+    assert read_tombstone_ids(idx).size == 0
+    assert mf.read_stats(idx)["n_docs"] == 16
+
+    survivors = [p for p in pages if p["url"] not in set(victim_urls)]
+    build_index(spark, _pages_df(spark, survivors), batch,
+                n_buckets=4, n_salts=4, with_positions=True,
+                avgdl_override=frozen_avgdl)
+
+    def postings_content(index_dir):
+        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        return {
+            rec["term"]: list(
+                zip(*[a.tolist() for a in
+                      decode_postings(_row_to_encoded(rec.asDict()))])
+            )
+            for rec in seg.collect()
+        }
+
+    assert postings_content(idx) == postings_content(batch)
+
+    h2, hb = load_index(idx), load_index(batch)
+
+    def positions_content(hh):
+        return {
+            (r["doc_id"], r["term"]): (list(r["line_ids"]), list(r["tok_ids"]))
+            for r in spark.read.parquet(hh.positions_path).collect()
+        }
+
+    assert positions_content(h2) == positions_content(hb)
+    assert {r["url"] for r in spark.read.parquet(h2.doc_map_path).collect()} \
+        == {p["url"] for p in survivors}
+
+    # identical retrieval from the purged index and the survivor batch build
+    assert query_topk_local(spark, h2, ["the", "storm"], k=10) \
+        == query_topk_local(spark, hb, ["the", "storm"], k=10)
+
+    # after compaction the url is gone from the replay gate: re-add works
+    assert merge_docs_into_index(spark, _pages_df(spark, [victims[0]]), idx) == 1
+    h3 = load_index(idx)
+    assert spark.read.parquet(h3.doc_map_path).count() == 17

@@ -176,6 +176,57 @@ def _merge_runs(n_buckets: int):
     return fn
 
 
+def _salt_boundaries(n_salts: int) -> np.ndarray:
+    """Doc-id range boundaries of the build's salt layout (n_salts-1 cut
+    points over the signed int64 space; empty for n_salts == 1)."""
+    bits = int(n_salts).bit_length() - 1
+    return np.asarray(
+        [(s - n_salts // 2) << (64 - bits) for s in range(1, n_salts)],
+        dtype=np.int64,
+    )
+
+
+def encode_salt_aligned(ids, tfs, dls, avgdl: float, boundaries: np.ndarray):
+    """Encode sorted postings with each salt range as its OWN run, runs
+    byte-concatenated — no block straddles a range boundary, the invariant
+    query_topk's distributed range slicing depends on (the batch build gets
+    it from per-(term, salt) encode tasks; re-encoders — incremental merge,
+    tombstone purge — get it here)."""
+    from ..operators.codec import concat_encoded
+
+    cuts = np.searchsorted(ids, boundaries)
+    runs = []
+    prev = 0
+    for c in list(cuts) + [ids.size]:
+        if c > prev:
+            runs.append(
+                encode_postings(ids[prev:c], tfs[prev:c], dls[prev:c], avgdl)
+            )
+        prev = c
+    return concat_encoded(runs)
+
+
+def segment_row(term: str, n_buckets: int, enc: EncodedPostings) -> dict:
+    """An EncodedPostings as a SEGMENT_SCHEMA row dict."""
+    return {
+        "term": term,
+        "bucket": _py_bucket(term, n_buckets),
+        "df": enc.df,
+        "cf": enc.cf,
+        "doc_bytes": enc.doc_bytes,
+        "tf_bytes": enc.tf_bytes,
+        "dl_bytes": enc.dl_bytes,
+        "first_doc": enc.first_doc.tolist(),
+        "last_doc": enc.last_doc.tolist(),
+        "n": enc.n.tolist(),
+        "doc_off": enc.doc_off.tolist(),
+        "tf_off": enc.tf_off.tolist(),
+        "dl_off": enc.dl_off.tolist(),
+        "max_impact": enc.max_impact.tolist(),
+        "max_impact_all": float(enc.max_impact.max()),
+    }
+
+
 def _py_bucket(term: str, n_buckets: int) -> int:
     """Python twin of the bucket expression — crc32-based so both sides agree
     without a JVM call."""
@@ -207,6 +258,7 @@ def build_index(
     tokens: DataFrame | None = None,
     with_positions: bool = False,
     lemmatizer=None,
+    avgdl_override: float | None = None,
 ) -> BuildResult:
     """Build (or resume) the inverted index for ``docs`` at ``index_dir``.
 
@@ -254,7 +306,7 @@ def build_index(
     try:
         return _build_index_inner(
             spark, docs, index_dir, n_buckets, n_salts,
-            tokens, with_positions, lemmatizer,
+            tokens, with_positions, lemmatizer, avgdl_override,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
@@ -272,6 +324,7 @@ def _build_index_inner(
     tokens: DataFrame | None,
     with_positions: bool,
     lemmatizer,
+    avgdl_override: float | None = None,
 ) -> BuildResult:
 
     tok_name = "wics-v1" if lemmatizer is None else (
@@ -319,6 +372,12 @@ def _build_index_inner(
         F.count("*"), F.avg("doc_len")
     ).collect()[0]
     avgdl = float(avgdl)
+    if avgdl_override is not None:
+        # rebuild with PINNED global stats — the frozen-avgdl maintenance
+        # policy (streaming/incremental.py module docstring): a rebuild over
+        # a pruned corpus (e.g. post-deletion) stays score-comparable with
+        # the incremental index it replaces
+        avgdl = float(avgdl_override)
 
     done = set(mf.completed_buckets(index_dir))
     todo = [b for b in range(n_buckets) if b not in done]
@@ -426,6 +485,107 @@ def _touch_success(path: str) -> None:
     open(os.path.join(path, "_SUCCESS"), "a").close()
 
 
+def tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def read_tombstone_ids(index_dir: str) -> np.ndarray:
+    """Sorted unique tombstoned doc_ids (empty array when none). Driver-side
+    pyarrow read, no Spark job: the deleted-docs set is small relative to
+    the corpus and ships inside query plans/closures the way the ANN
+    centroid literals do; if it ever grows large, run compact_index — the
+    physical purge empties it."""
+    path = tombstones_path(index_dir)
+    if not os.path.isdir(path) or not os.listdir(path):
+        return np.empty(0, dtype=np.int64)
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(path, format="parquet").to_table(columns=["doc_id"])
+    if tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def delete_docs(spark: SparkSession, index_dir: str, urls) -> int:
+    """Logically delete documents by url (takedowns, re-crawl removals,
+    dedup-driven drops — the operations the reference's append-only cache
+    cannot express, extract_words.py:372-385). Lucene-style deleted-docs
+    model: this appends (doc_id, url) tombstones — queries exclude them
+    immediately (IndexHandle.tombstones → the top-k kernels' ``excluded``
+    set, anti-joins on the DataFrame paths) and ``compact_index`` performs
+    the physical purge (segments decode-filter-re-encode, doc_map/positions
+    filtered, tombstones cleared). Idempotent: already-tombstoned and
+    unknown urls are no-ops. A deleted url becomes indexable again after
+    the next compaction removes it from doc_map (the merge replay gate).
+    Returns the number of newly tombstoned documents."""
+    stats = mf.read_stats(index_dir)
+    generation = int(stats.get("generation", 0))
+    doc_map = spark.read.parquet(mf.data_dir(index_dir, "doc_map", generation))
+    if isinstance(urls, (list, tuple, set)):
+        urls_df = spark.createDataFrame(
+            [(u,) for u in sorted(urls)], "url string"
+        )
+    else:
+        urls_df = urls.select("url")
+    hit = doc_map.join(urls_df.distinct(), "url", "left_semi").select(
+        "doc_id", "url"
+    )
+    path = tombstones_path(index_dir)
+    if os.path.isdir(path) and os.listdir(path):
+        hit = hit.join(
+            spark.read.parquet(path).select("doc_id"), "doc_id", "left_anti"
+        )
+    hit = hit.persist()
+    n = hit.count()
+    if n:
+        hit.write.mode("append").parquet(path)
+    hit.unpersist()
+    return int(n)
+
+
+def _drop_tombstoned_postings(
+    avgdl: float, n_buckets: int, n_salts: int, excluded: np.ndarray
+):
+    """mapInPandas over segment rows (compaction's physical purge): rows
+    whose block [first_doc, last_doc] ranges cannot contain an excluded id
+    pass through byte-identical (no decode); affected rows decode, mask, and
+    re-encode salt-range aligned with the FROZEN avgdl, recomputing df/cf
+    and block max-impact metadata; terms whose postings all vanish drop."""
+    from ..operators.codec import decode_postings
+
+    boundaries = _salt_boundaries(n_salts)
+    cols = [f.strip().split()[0] for f in SEGMENT_SCHEMA.split(",")]
+
+    def fn(it):
+        from .query import _row_to_encoded  # runtime import (no cycle)
+
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                first = np.asarray(rec["first_doc"], dtype=np.int64)
+                last = np.asarray(rec["last_doc"], dtype=np.int64)
+                pos = np.searchsorted(excluded, first, side="left")
+                hit = (pos < excluded.size) & (
+                    excluded[np.minimum(pos, excluded.size - 1)] <= last
+                )
+                if not hit.any():
+                    rows.append(rec)
+                    continue
+                ids, tfs, dls = decode_postings(_row_to_encoded(rec))
+                keep = ~np.isin(ids, excluded)
+                if not keep.any():
+                    continue
+                enc = encode_salt_aligned(
+                    ids[keep], tfs[keep], dls[keep], avgdl, boundaries
+                )
+                rows.append(segment_row(rec["term"], n_buckets, enc))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
 def _bucket_metrics(
     spark: SparkSession, seg_path: str, buckets: list[int]
 ) -> dict[int, dict]:
@@ -494,8 +654,24 @@ def compact_index(
     new_g = g + 1
     out = {"generation": new_g}
 
+    # tombstones (delete_docs): compaction is the physical purge point —
+    # doc_map/positions rows filtered, affected segment terms decode-filter-
+    # re-encoded, tombstones cleared LAST (after the commit), so a crash at
+    # any point leaves the logical exclusion active and queries correct
+    excluded = read_tombstone_ids(index_dir)
+    tomb_df = None
+    if excluded.size:
+        tomb_df = (
+            spark.read.parquet(tombstones_path(index_dir))
+            .select("doc_id")
+            .distinct()
+        )
+        out["tombstones_purged"] = int(excluded.size)
+
     doc_map_src = mf.data_dir(index_dir, "doc_map", g)
     doc_map = spark.read.parquet(doc_map_src)
+    if tomb_df is not None:
+        doc_map = doc_map.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     n_docs = doc_map.count()
     n_files = max(1, -(-n_docs // target_docs_per_file))
     (
@@ -522,6 +698,8 @@ def compact_index(
         # lossless for every store shape: pure-v1 keeps its schema, mixed
         # keeps v1 rows as null-tok_ids rows, pure-v2 is unchanged.
         pos_df = spark.read.option("mergeSchema", "true").parquet(pos_src)
+        if tomb_df is not None:
+            pos_df = pos_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
         (
             pos_df.repartition("bucket")
             .sortWithinPartitions("term")
@@ -546,7 +724,69 @@ def compact_index(
             ):
                 stats["positions_schema"] = POSITIONS_SCHEMA_VERSION
 
+    if excluded.size:
+        # physical purge of the postings: rewrite affected buckets (dynamic
+        # partition overwrite, same layout as build/merge); untouched rows
+        # pass through without decode via the block-metadata prune. Staged
+        # through a temp dir — Spark refuses to overwrite a path it is
+        # reading — and any bucket whose every term vanished is dropped
+        # manually (dynamic overwrite only rewrites buckets present in the
+        # output).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        seg_path = os.path.join(index_dir, "segments")
+        seg = spark.read.parquet(seg_path)
+        old_buckets = sorted(
+            int(r["bucket"]) for r in seg.select("bucket").distinct().collect()
+        )
+        tmp_seg = os.path.join(index_dir, "segments_compact_tmp")
+        shutil.rmtree(tmp_seg, ignore_errors=True)
+        seg.mapInPandas(
+            _drop_tombstoned_postings(
+                float(stats["avgdl"]), int(stats["n_buckets"]),
+                int(stats["n_salts"]), excluded,
+            ),
+            schema=SEGMENT_SCHEMA,
+        ).write.mode("overwrite").parquet(tmp_seg)
+        new_seg = spark.read.parquet(tmp_seg)
+        (
+            new_seg.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(seg_path)
+        )
+        _touch_success(seg_path)
+        new_buckets = {
+            int(r["bucket"])
+            for r in new_seg.select("bucket").distinct().collect()
+        }
+        shutil.rmtree(tmp_seg, ignore_errors=True)
+        for b in old_buckets:
+            if b not in new_buckets:
+                shutil.rmtree(
+                    os.path.join(seg_path, f"bucket={b}"), ignore_errors=True
+                )
+        metrics = _bucket_metrics(spark, seg_path, old_buckets)
+        for b in old_buckets:
+            m = metrics.get(b)
+            mf.commit_bucket(
+                index_dir,
+                b,
+                {
+                    "n_terms": int(m["n_terms"]) if m else 0,
+                    "n_postings": int(m["n_postings"]) if m else 0,
+                    "bytes": int(m["bytes"]) if m else 0,
+                    "lineage": {
+                        "compaction": new_g,
+                        "tombstones_purged": int(excluded.size),
+                    },
+                },
+            )
+        out["segments_purged_buckets"] = len(old_buckets)
+
     stats["generation"] = new_g
+    stats["n_docs"] = int(n_docs)  # post-purge truth (unchanged without
+    # tombstones: doc_map is the source of n_docs either way)
     mf.write_stats(index_dir, stats)  # commit point (atomic replace)
 
     # GC strictly the MIGRATED stores' older generations — deleting a
@@ -556,4 +796,9 @@ def compact_index(
             p = mf.data_dir(index_dir, name, old_g)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
+    if excluded.size:
+        # everything physically purged and committed — the logical exclusion
+        # is no longer needed (a crash before this line just leaves it
+        # active against already-absent doc_ids: harmless, cleared next time)
+        shutil.rmtree(tombstones_path(index_dir), ignore_errors=True)
     return out

@@ -46,18 +46,41 @@ class IndexHandle:
     positions_schema: int = 0
     # compaction generation of the append-mode stores (manifest.data_dir)
     generation: int = 0
+    # sorted tombstoned doc_ids (delete_docs): every query path excludes
+    # them until compact_index physically purges; loaded at handle creation
+    tombstones: np.ndarray | None = None
 
     def __post_init__(self) -> None:
         # hot-postings cache for the interactive path: term → EncodedPostings
         # (None = term absent from the index). Real engines keep hot posting
         # lists resident; this is the single-node analog. The cache reflects
         # the index AS OF load_index()/invalidate() — call invalidate() (or
-        # re-load_index) after merge_docs_into_index touches this index.
+        # re-load_index) after merge_docs_into_index or delete_docs touches
+        # this index.
         self._term_cache: dict[str, EncodedPostings | None] = {}
+        if self.tombstones is None:
+            from .build import read_tombstone_ids
+
+            self.tombstones = read_tombstone_ids(self.index_dir)
 
     def invalidate(self) -> None:
-        """Drop cached postings (after an incremental merge of this index)."""
+        """Drop cached postings and reload tombstones (after an incremental
+        merge or delete_docs touched this index)."""
         self._term_cache.clear()
+        from .build import read_tombstone_ids
+
+        self.tombstones = read_tombstone_ids(self.index_dir)
+
+    @property
+    def n_live_docs(self) -> int:
+        """Documents visible to queries: n_docs minus tombstoned. Used for
+        idf so scores drift toward the post-purge values immediately (df per
+        term still counts tombstoned postings until compaction re-encodes —
+        the standard deleted-docs approximation)."""
+        return self.n_docs - int(self.tombstones.size)
+
+    def _excluded(self) -> np.ndarray | None:
+        return self.tombstones if self.tombstones.size else None
 
     @property
     def segments_path(self) -> str:
@@ -171,7 +194,7 @@ def _collect_lists(
     for t in wanted:
         enc = h._term_cache[t]
         if enc is not None:
-            lists.append((enc, idf(h.n_docs, enc.df)))
+            lists.append((enc, idf(h.n_live_docs, enc.df)))
     return lists
 
 
@@ -182,7 +205,7 @@ def query_topk_local(
     exact evaluation for small candidate volumes, block-max WAND above the
     crossover (both bit-identical, tests/test_topk.py)."""
     lists = _collect_lists(spark, h, terms)
-    return hybrid_topk(lists, k, h.avgdl)
+    return hybrid_topk(lists, k, h.avgdl, excluded=h._excluded())
 
 
 def query_topk(
@@ -190,7 +213,8 @@ def query_topk(
 ) -> DataFrame:
     """Distributed WAND: per doc-id range partial top-k, global merge.
     Returns DataFrame (doc_id long, score double, rank int)."""
-    n_docs, avgdl, n_salts = h.n_docs, h.avgdl, h.n_salts
+    n_docs, avgdl, n_salts = h.n_live_docs, h.avgdl, h.n_salts
+    excluded = h._excluded()  # closure-captured; ships with the tasks
     terms_sorted = sorted(set(terms))
     seg = _segment_rows(spark, h, terms_sorted)
 
@@ -279,7 +303,7 @@ def query_topk(
                 max_impact=np.asarray(rec["max_impact"], dtype=np.float32),
             )
             lists.append((enc, idfs[rec["term"]]))
-        top = hybrid_topk(lists, k, avgdl)
+        top = hybrid_topk(lists, k, avgdl, excluded=excluded)
         return pd.DataFrame(top, columns=["doc_id", "score"])
 
     partial = slices.groupBy("range_id").applyInPandas(
@@ -290,6 +314,18 @@ def query_topk(
 
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return w_ordered.withColumn("rank", F.row_number().over(w))
+
+
+def _without_tombstones(spark: SparkSession, h: IndexHandle, df: DataFrame) -> DataFrame:
+    """Anti-join a doc_id DataFrame against the handle's tombstones (no-op
+    when none). The deleted set is broadcast — it is small by contract
+    (compaction empties it)."""
+    if h.tombstones is None or h.tombstones.size == 0:
+        return df
+    tomb = spark.createDataFrame(
+        [(int(d),) for d in h.tombstones], "doc_id long"
+    )
+    return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
 def snippet_lookup(
@@ -314,7 +350,7 @@ def brute_force_query_local(
 ) -> list[tuple[int, float]]:
     """Oracle twin of query_topk_local (decode-everything scorer)."""
     lists = _collect_lists(spark, h, terms)
-    return brute_force_topk(lists, k, h.avgdl)
+    return brute_force_topk(lists, k, h.avgdl, excluded=h._excluded())
 
 
 def occurrences(
@@ -326,14 +362,16 @@ def occurrences(
     ``with_positions=True``. Bucket-pruned scan, same layout as segments."""
     path = h.positions_path
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
-    return (
+    return _without_tombstones(
+        spark,
+        h,
         spark.read.parquet(path)
         .where(
             F.col("bucket").isin(buckets)
             & F.col("term").isin(terms)
             & F.col("doc_id").isin([int(d) for d in doc_ids])
         )
-        .select("doc_id", "term", "line_ids")
+        .select("doc_id", "term", "line_ids"),
     )
 
 
@@ -351,11 +389,13 @@ def cooccurrence_topk(
     terms = sorted(set(terms))
     path = h.positions_path
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
-    occ = (
+    occ = _without_tombstones(
+        spark,
+        h,
         spark.read.parquet(path)
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("doc_id", "term", F.explode("line_ids").alias("line_id"))
-        .distinct()
+        .distinct(),
     )
     lines_with_all = (
         occ.groupBy("doc_id", "line_id")
@@ -418,10 +458,12 @@ def phrase_matches_index(
                 "enable index-backed phrase search"
             )
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in set(phrase)})
-    pos = (
+    pos = _without_tombstones(
+        spark,
+        h,
         spark.read.parquet(path)
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(set(phrase))))
-        .select("doc_id", "term", "tok_ids")
+        .select("doc_id", "term", "tok_ids"),
     )
     anchor = pos.where(F.col("term") == phrase[0]).select(
         "doc_id", F.col("tok_ids").alias("starts")

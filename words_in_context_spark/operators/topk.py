@@ -117,6 +117,13 @@ class PostingCursor:
         return self.idf * impact
 
 
+def _is_excluded(excluded: np.ndarray | None, doc: int) -> bool:
+    if excluded is None or excluded.size == 0:
+        return False
+    i = int(np.searchsorted(excluded, doc))
+    return i < excluded.size and int(excluded[i]) == doc
+
+
 def wand_topk(
     lists: list[tuple[EncodedPostings, float]],
     k: int,
@@ -124,11 +131,18 @@ def wand_topk(
     k1: float = 1.2,
     b: float = 0.75,
     stats: dict | None = None,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for the disjunctive BM25 query whose term
     posting lists and idfs are ``lists`` (canonical term order = list order).
     Returns rows sorted by (score desc, doc_id asc). Pass ``stats={}`` to
-    receive skipping telemetry (blocks decoded vs total)."""
+    receive skipping telemetry (blocks decoded vs total).
+
+    ``excluded``: sorted int64 doc_ids that must not appear in results — the
+    deleted-docs bitmap analog (index tombstones, index/build.py). Excluded
+    docs are dropped at scoring time: block upper bounds stay valid (they
+    only over-estimate), so skipping is unaffected and the result equals
+    retrieval over an index with those docs physically purged."""
     cursors = [
         PostingCursor(enc, idf, i, avgdl, k1, b)
         for i, (enc, idf) in enumerate(lists)
@@ -177,6 +191,11 @@ def wand_topk(
             continue
 
         if live[0].cur_doc() == pivot_doc:
+            if _is_excluded(excluded, pivot_doc):
+                for c in live:
+                    if c.cur_doc() == pivot_doc:
+                        c.advance()
+                continue
             # all cursors before pivot are aligned → score fully
             contribs = []
             for c in live:
@@ -218,6 +237,7 @@ def brute_force_topk(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Reference scorer: decode everything, accumulate per doc in canonical
     term order. Bit-identical to wand_topk (tested)."""
@@ -229,7 +249,10 @@ def brute_force_topk(
         imp = idf * bm25_impact(tfs, dls, avgdl, k1, b)
         for d, s in zip(ids.tolist(), imp.tolist()):
             scores[d] = scores.get(d, 0.0) + s
-    rows = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+    rows = sorted(
+        ((d, s) for d, s in scores.items() if not _is_excluded(excluded, d)),
+        key=lambda t: (-t[1], t[0]),
+    )
     return rows[:k]
 
 
@@ -239,6 +262,7 @@ def vectorized_topk(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k via full vectorized evaluation: decode every list, group
     contributions by doc with np.unique, accumulate with np.add.at (array
@@ -262,6 +286,9 @@ def vectorized_topk(
     uniq, inverse = np.unique(all_ids, return_inverse=True)
     acc = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(acc, inverse, all_scores)
+    if excluded is not None and excluded.size:
+        keep = ~np.isin(uniq, excluded)
+        uniq, acc = uniq[keep], acc[keep]
     if uniq.size <= k:
         order = np.lexsort((uniq, -acc))
     else:
@@ -293,6 +320,7 @@ def hybrid_topk(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Route by shape: WAND when skipping can pay (a selective list's upper
     bound dominates the dense lists', so the threshold rises fast and dense
@@ -302,7 +330,7 @@ def hybrid_topk(
         return []
     total = sum(enc.df for enc, _ in lists)
     if total > HYBRID_WAND_THRESHOLD:
-        return wand_topk(lists, k, avgdl, k1, b)
+        return wand_topk(lists, k, avgdl, k1, b, excluded=excluded)
     if len(lists) > 1:
         dfs = sorted(enc.df for enc, _ in lists)
         ubs = [
@@ -317,5 +345,5 @@ def hybrid_topk(
         # strong df skew + the rare list alone outweighs everything else:
         # dense-only docs can never beat rare-list docs → WAND skips them
         if dfs[0] * 50 <= dfs[-1] and selective_ub > rest_ub:
-            return wand_topk(lists, k, avgdl, k1, b)
-    return vectorized_topk(lists, k, avgdl, k1, b)
+            return wand_topk(lists, k, avgdl, k1, b, excluded=excluded)
+    return vectorized_topk(lists, k, avgdl, k1, b, excluded=excluded)

@@ -40,8 +40,9 @@ from ..index.build import (
     _encode_run,
     bucket_expr,
     range_salt,
+    read_tombstone_ids,
 )
-from ..operators.codec import decode_postings, encode_postings
+from ..operators.codec import decode_postings
 from ..operators.extract import tokenize_tf
 
 PAGES_SCHEMA = (
@@ -49,27 +50,36 @@ PAGES_SCHEMA = (
 )
 
 
-def _merge_with_existing(avgdl: float, n_buckets: int, n_salts: int):
+def _merge_with_existing(
+    avgdl: float,
+    n_buckets: int,
+    n_salts: int,
+    excluded: np.ndarray | None = None,
+):
     """applyInPandas per term: decode existing segment row (if any) + new
     encoded runs, concatenate, sort by doc_id, re-encode with frozen avgdl.
 
-    Two invariants maintained here:
+    Invariants maintained here:
       * duplicate doc_ids are dropped (keep-first) — a replayed micro-batch
         whose previous attempt crashed between the segment overwrite and the
         doc_map append re-delivers identical postings; deduping makes the
         merge idempotent instead of tripping the strictly-increasing assert;
-      * re-encoding is SALT-RANGE ALIGNED (each salt range encoded
-        separately, runs concatenated) so no block straddles a range
-        boundary — query_topk's distributed range slicing depends on it.
+      * re-encoding is SALT-RANGE ALIGNED (encode_salt_aligned) so no block
+        straddles a range boundary — query_topk's distributed range slicing
+        depends on it;
+      * ``excluded`` (sorted tombstoned doc_ids, index/build.delete_docs):
+        since the term is being decoded anyway, its tombstoned postings are
+        dropped opportunistically — df/metadata come out post-purge for
+        merged terms, untouched terms wait for compact_index.
     """
-    from ..index.build import _py_bucket
+    from ..index.build import _salt_boundaries, encode_salt_aligned, segment_row
     from ..index.query import _row_to_encoded
-    from ..operators.codec import concat_encoded
 
-    bits = n_salts.bit_length() - 1
-    boundaries = [
-        ((s - n_salts // 2) << (64 - bits)) if n_salts > 1 else -(1 << 63)
-        for s in range(1, n_salts)
+    boundaries = _salt_boundaries(n_salts)
+    cols = [
+        "term", "bucket", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes",
+        "first_doc", "last_doc", "n", "doc_off", "tf_off", "dl_off",
+        "max_impact", "max_impact_all",
     ]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -88,40 +98,13 @@ def _merge_with_existing(avgdl: float, n_buckets: int, n_salts: int):
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         keep = np.ones(ids.size, dtype=bool)
         keep[1:] = ids[1:] != ids[:-1]  # idempotent replay: drop duplicates
+        if excluded is not None and excluded.size:
+            keep &= ~np.isin(ids, excluded)
         ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-        # encode each salt range as its OWN run, then byte-concatenate —
-        # merge_encoded_runs would re-block globally and straddle ranges
-        cuts = np.searchsorted(ids, np.asarray(boundaries, dtype=np.int64))
-        runs = []
-        prev = 0
-        for c in list(cuts) + [ids.size]:
-            if c > prev:
-                runs.append(
-                    encode_postings(ids[prev:c], tfs[prev:c], dls[prev:c], avgdl)
-                )
-            prev = c
-        enc = concat_encoded(runs)
-        return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "bucket": _py_bucket(term, n_buckets),
-                    "df": enc.df,
-                    "cf": enc.cf,
-                    "doc_bytes": enc.doc_bytes,
-                    "tf_bytes": enc.tf_bytes,
-                    "dl_bytes": enc.dl_bytes,
-                    "first_doc": enc.first_doc.tolist(),
-                    "last_doc": enc.last_doc.tolist(),
-                    "n": enc.n.tolist(),
-                    "doc_off": enc.doc_off.tolist(),
-                    "tf_off": enc.tf_off.tolist(),
-                    "dl_off": enc.dl_off.tolist(),
-                    "max_impact": enc.max_impact.tolist(),
-                    "max_impact_all": float(enc.max_impact.max()),
-                }
-            ]
-        )
+        if ids.size == 0:
+            return pd.DataFrame([], columns=cols)  # term fully tombstoned
+        enc = encode_salt_aligned(ids, tfs, dls, avgdl, boundaries)
+        return pd.DataFrame([segment_row(term, n_buckets, enc)], columns=cols)
 
     return fn
 
@@ -199,7 +182,11 @@ def merge_docs_into_index(
         to_merge_old.unionByName(runs_as_segments, allowMissingColumns=False)
         .groupBy("term")
         .applyInPandas(
-            _merge_with_existing(avgdl, n_buckets, n_salts), SEGMENT_SCHEMA
+            _merge_with_existing(
+                avgdl, n_buckets, n_salts,
+                excluded=read_tombstone_ids(index_dir),
+            ),
+            SEGMENT_SCHEMA,
         )
     )
     out = untouched.unionByName(merged)
