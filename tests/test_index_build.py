@@ -453,3 +453,81 @@ def test_forward_cache_invalidates_on_partfile_rewrite(spark, tmp_path, monkeypa
 
     terms2 = {r["term"] for r in _forward(spark, str(sf_dir)).collect()}
     assert terms2 == {"gamma", "delta"}, "stale forward cache served"
+
+
+def test_head_term_skew_salting_stress(spark, tmp_path):
+    """Pins the skew design's promise (index/build.py:22-27): an ultra-hot
+    term costs n_salts bounded encode tasks + one byte-concat. Over a Zipf
+    corpus whose head term ('the') hits ~every doc, assert — AFTER a build
+    plus an incremental merge (covering encode_salt_aligned) — that the hot
+    term's postings are salt-balanced (each range within 2x of even), that
+    no block straddles a salt-range boundary (query_topk's range slicing
+    invariant), and that the salted+merged encoding decodes to exactly the
+    one-pass tokenize ground truth (== a direct unsalted encode's content).
+    """
+    import numpy as np
+
+    from words_in_context_spark.index.build import _salt_boundaries
+    from words_in_context_spark.index.query import _row_to_encoded
+    from words_in_context_spark.operators.codec import decode_postings
+    from words_in_context_spark.operators.extract import tokenize_tf
+    from words_in_context_spark.streaming.incremental import (
+        merge_docs_into_index,
+    )
+
+    n_docs, n_salts = 400, 4
+    pages = generate_pages(n_docs, seed=5)
+
+    def df_of(ps):
+        return spark.createDataFrame(
+            [(p["url"], p["text"], p["lang"]) for p in ps],
+            "url string, text string, lang string",
+        )
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, df_of(pages[:300]), idx, n_buckets=4, n_salts=n_salts)
+    merged_pages = [
+        dict(p, warc_ts=__import__("datetime").datetime(2024, 1, 1))
+        for p in pages[300:]
+    ]
+    merge_df = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], None, p["text"], p["lang"])
+         for p in merged_pages],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    assert merge_docs_into_index(spark, merge_df, idx) == 100
+
+    rec = (
+        spark.read.parquet(f"{idx}/segments")
+        .where(F.col("term") == "the")
+        .collect()[0]
+        .asDict()
+    )
+    ids, tfs, dls = decode_postings(_row_to_encoded(rec))
+    assert ids.size >= 0.9 * n_docs  # genuinely ultra-hot
+
+    bounds = _salt_boundaries(n_salts)
+    salt_of = np.searchsorted(bounds, ids, side="right")
+    counts = np.bincount(salt_of, minlength=n_salts)
+    balanced = ids.size / n_salts
+    assert counts.min() >= balanced / 2 and counts.max() <= balanced * 2, (
+        counts.tolist()
+    )
+
+    first = np.asarray(rec["first_doc"], dtype=np.int64)
+    last = np.asarray(rec["last_doc"], dtype=np.int64)
+    assert (
+        np.searchsorted(bounds, first, side="right")
+        == np.searchsorted(bounds, last, side="right")
+    ).all(), "a block straddles a salt-range boundary"
+
+    gt = (
+        tokenize_tf(df_of(pages))
+        .where(F.col("term") == "the")
+        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .select("doc_id", "tf", "doc_len")
+        .collect()
+    )
+    exp = sorted((r["doc_id"], r["tf"], r["doc_len"]) for r in gt)
+    got = sorted(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
+    assert got == exp
