@@ -531,3 +531,70 @@ def test_head_term_skew_salting_stress(spark, tmp_path):
     exp = sorted((r["doc_id"], r["tf"], r["doc_len"]) for r in gt)
     got = sorted(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
     assert got == exp
+
+
+def test_iceberg_catalog_roundtrip_if_available(spark, tmp_path):
+    """The north rule's input is an Iceberg TABLE. This image ships no
+    iceberg-spark-runtime jar (environment-blocked, like spaCy), so this
+    test SKIPS here — but if the runtime ever lands, it exercises the real
+    thing with no code changes: a hadoop catalog at a temp warehouse,
+    CREATE TABLE + append of the pages schema, read_pages("ice.db.pages")
+    through the same seam jobs use (corpus.py), MERGE INTO upsert, and an
+    index build off the live table matching one built from parquet."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        pytest.skip("iceberg-spark-runtime not on classpath")
+
+    from words_in_context_spark.corpus import read_pages
+    from words_in_context_spark.index.query import _row_to_encoded
+
+    spark.conf.set(
+        "spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ice.warehouse", str(tmp_path / "wh"))
+    spark.sql(
+        "CREATE TABLE ice.db.pages (url string, warc_ts timestamp, "
+        "html binary, text string, lang string) USING iceberg"
+    )
+    pages = generate_pages(12, seed=9)
+    src = spark.createDataFrame(
+        [(p["url"], p["warc_ts"].replace(tzinfo=None), None, p["text"],
+          p["lang"]) for p in pages],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    src.writeTo("ice.db.pages").append()
+    tbl = read_pages(spark, "ice.db.pages")
+    assert tbl.count() == 12
+
+    # upsert semantics through the catalog (re-crawl of one url)
+    src.limit(1).createOrReplaceTempView("updates")
+    spark.sql(
+        "MERGE INTO ice.db.pages t USING updates u ON t.url = u.url "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert read_pages(spark, "ice.db.pages").count() == 12
+
+    pq = str(tmp_path / "pages_pq")
+    src.write.parquet(pq)
+    idx_t = str(tmp_path / "idx_table")
+    idx_p = str(tmp_path / "idx_parquet")
+    build_index(spark, read_pages(spark, "ice.db.pages").select(
+        "url", "text", "lang"), idx_t, n_buckets=4, n_salts=2)
+    build_index(spark, read_pages(spark, pq).select(
+        "url", "text", "lang"), idx_p, n_buckets=4, n_salts=2)
+
+    def content(ix):
+        from words_in_context_spark.operators.codec import decode_postings
+
+        seg = spark.read.parquet(os.path.join(ix, "segments"))
+        return {
+            r["term"]: [a.tolist() for a in
+                        decode_postings(_row_to_encoded(r.asDict()))]
+            for r in seg.collect()
+        }
+
+    assert content(idx_t) == content(idx_p)

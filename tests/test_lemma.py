@@ -70,3 +70,77 @@ def test_tokenize_lines_lemma_mode():
     # identity mode unchanged
     doc0 = tokenize_lines(["The children went running."])
     assert [t.term for t in doc0.tokens] == ["the", "children", "went", "running"]
+
+
+GERMAN_CASES = {
+    # sein / haben / werden / modals
+    "ist": "sein", "war": "sein", "gewesen": "sein", "wäre": "sein",
+    "hat": "haben", "hatte": "haben", "gehabt": "haben",
+    "wird": "werden", "wurde": "werden", "worden": "werden",
+    "kann": "können", "konnte": "können", "möchte": "mögen",
+    "muss": "müssen", "wollte": "wollen",
+    # strong verbs
+    "ging": "gehen", "gegangen": "gehen", "kam": "kommen",
+    "sah": "sehen", "gesehen": "sehen", "wusste": "wissen",
+    "sprach": "sprechen", "ließ": "lassen", "schrieb": "schreiben",
+    "gesagt": "sagen", "gemacht": "machen",
+    # safe derivational plurals
+    "zeitungen": "zeitung", "möglichkeiten": "möglichkeit",
+    "schönheiten": "schönheit", "freundschaften": "freundschaft",
+    "lehrerinnen": "lehrerin",
+    # conservative: ambiguous forms stay put (no aggressive stemming)
+    "häuser": "häuser", "kinder": "kinder", "tage": "tage",
+    "flüstert": "flüstert", "sturm": "sturm",
+}
+
+
+@pytest.mark.parametrize("word,lemma", sorted(GERMAN_CASES.items()))
+def test_german_lemma(word, lemma):
+    from words_in_context_spark.lemma import german_lemma
+
+    assert german_lemma(word) == lemma
+
+
+def test_german_lemma_idempotent_and_registered():
+    from words_in_context_spark.lemma import IRREGULAR_DE, german_lemma
+
+    for w, expected in IRREGULAR_DE.items():
+        assert german_lemma(w) == expected
+        assert german_lemma(expected) == expected, expected  # idempotent
+    assert get_lemmatizer("german") is german_lemma
+
+
+def test_by_language_seam_through_spark_tokenize():
+    """The dict → ByLanguage spec flows through the Arrow UDTF seam
+    (operators/extract.tokenize): one mixed-language DataFrame, each doc
+    lemmatized by its own language's lemmatizer ('war' stays in the English
+    doc, becomes 'sein' in the German one), unlisted languages identity."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from words_in_context_spark.operators.extract import tokenize
+    from words_in_context_spark.session import get_spark
+
+    spark = get_spark(cores=2, app_name="wics-tests-bylang",
+                      shuffle_partitions=2)
+    docs = spark.createDataFrame(
+        [
+            ("u-en", "1\n00:00:00,000 --> 00:00:01,000\nwar went children\n",
+             "en"),
+            ("u-de", "1\n00:00:00,000 --> 00:00:01,000\nwar ging zeitungen\n",
+             "de"),
+            ("u-fr", "1\n00:00:00,000 --> 00:00:01,000\nwar went allées\n",
+             "fr"),
+        ],
+        "url string, text string, lang string",
+    )
+    rows = tokenize(
+        docs, lemmatizer={"en": "english", "de": "german"}
+    ).collect()
+    terms = {}
+    for r in rows:
+        terms.setdefault(r["url"], []).append((r["tok_idx"], r["term"]))
+    got = {u: [t for _, t in sorted(v)] for u, v in terms.items()}
+    assert got["u-en"] == ["war", "go", "child"]
+    assert got["u-de"] == ["sein", "gehen", "zeitung"]
+    assert got["u-fr"] == ["war", "went", "allées"]

@@ -120,3 +120,35 @@ def test_edge_cases_parity():
         [t for t, _ in cases],
         [l for _, l in cases],
     )
+
+
+def test_by_language_routing_parity():
+    """ByLanguage router — the seam analog of the reference's per-language
+    spaCy model pick (extract_words.py:348,370): a mixed batch routes each
+    document to its language's lemmatizer (vectorized == sequential, since
+    the batch path splits per language before unique-token memoization).
+    'war' is the discriminator: English keeps it (protected homograph of the
+    noun), German maps it to 'sein'."""
+    from words_in_context_spark.lemma import ByLanguage, get_lemmatizer
+
+    urls = ["u-en", "u-de", "u-fr"]
+    texts = [
+        "1\n00:00:00,000 --> 00:00:01,000\nwar went children movies\n",
+        "1\n00:00:00,000 --> 00:00:01,000\nwar ging zeitungen kinder\n",
+        "1\n00:00:00,000 --> 00:00:01,000\nwar went zeitungen\n",
+    ]
+    langs = ["en", "de", "fr"]
+    router = get_lemmatizer({"en": "english", "de": "german"})
+    assert isinstance(router, ByLanguage)
+    assert "bylang" in router.__name__ and "german" in router.__name__
+
+    _assert_equal_tokens(urls, texts, langs, lemmatizer=router)
+
+    vec = tokenize_batch(urls, texts, langs, lemmatizer=router)
+    terms = {
+        di: list(g.sort_values("tok_idx")["term"])
+        for di, g in vec.groupby("doc_idx")
+    }
+    assert terms[0] == ["war", "go", "child", "movie"]
+    assert terms[1] == ["sein", "gehen", "zeitung", "kinder"]
+    assert terms[2] == ["war", "went", "zeitungen"]  # unlisted → identity

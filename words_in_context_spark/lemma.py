@@ -100,6 +100,27 @@ IRREGULAR: dict[str, str] = {
     "leaves": "leaf", "halves": "half", "shelves": "shelf",
     # -oes / -ies plurals the rules can't see through
     "shoes": "shoe", "toes": "toe", "movies": "movie",
+    # third batch (r4 breadth): compound-prefix irregulars + remaining
+    # unambiguous simple forms; homographs of other base words (bore, wound,
+    # lay-as-noun, smelt, dice, media, data) stay excluded as before
+    "arose": "arise", "arisen": "arise", "beaten": "beat",
+    "clung": "cling", "dreamt": "dream", "dwelt": "dwell",
+    "foresaw": "foresee", "foreseen": "foresee", "leapt": "leap",
+    "mistook": "mistake", "mistaken": "mistake",
+    "overcame": "overcome", "overtook": "overtake", "overtaken": "overtake",
+    "rebuilt": "rebuild", "repaid": "repay", "retold": "retell",
+    "rewrote": "rewrite", "rewritten": "rewrite",
+    "slew": "slay", "slain": "slay", "sprung": "spring",
+    "strode": "stride", "striven": "strive", "swollen": "swell",
+    "trod": "tread", "trodden": "tread",
+    "undergone": "undergo", "underwent": "undergo",
+    "undertook": "undertake", "undertaken": "undertake",
+    "upheld": "uphold", "withdrew": "withdraw", "withdrawn": "withdraw",
+    "withheld": "withhold", "withstood": "withstand",
+    # Latin/Greek plurals (unambiguous)
+    "cacti": "cactus", "fungi": "fungus", "nuclei": "nucleus",
+    "radii": "radius", "stimuli": "stimulus", "alumni": "alumnus",
+    "bacteria": "bacterium", "curricula": "curriculum",
 }
 
 # words that END in an inflection-shaped suffix but are not inflected —
@@ -180,20 +201,151 @@ def english_lemma(word: str) -> str:
     return word
 
 
+# ---------------------------------------------------------------------------
+# German (second language behind the seam — the reference corpus is largely
+# German subtitles, /root/reference/test/test_detect_languages.py). Same
+# design philosophy as english_lemma: an irregular table of unambiguous
+# high-frequency forms + only MORPHOLOGICALLY SAFE suffix rules (German
+# inflection is ambiguous enough that aggressive stemming would merge
+# distinct lemmas, which is worse for retrieval than leaving forms apart).
+# ---------------------------------------------------------------------------
+
+IRREGULAR_DE: dict[str, str] = {
+    # sein / haben / werden
+    "bin": "sein", "bist": "sein", "ist": "sein", "sind": "sein",
+    "seid": "sein", "war": "sein", "warst": "sein", "waren": "sein",
+    "wart": "sein", "gewesen": "sein", "wäre": "sein", "wären": "sein",
+    "habe": "haben", "hast": "haben", "hat": "haben", "habt": "haben",
+    "hatte": "haben", "hattest": "haben", "hatten": "haben",
+    "hattet": "haben", "gehabt": "haben", "hätte": "haben",
+    "hätten": "haben",
+    "werde": "werden", "wirst": "werden", "wird": "werden",
+    "werdet": "werden", "wurde": "werden", "wurdest": "werden",
+    "wurden": "werden", "wurdet": "werden", "geworden": "werden",
+    "worden": "werden", "würde": "werden", "würden": "werden",
+    # high-frequency strong verbs (preterite / participle → infinitive)
+    "ging": "gehen", "gingen": "gehen", "gegangen": "gehen",
+    "kam": "kommen", "kamen": "kommen", "gekommen": "kommen",
+    "sah": "sehen", "sahen": "sehen", "gesehen": "sehen",
+    "gab": "geben", "gaben": "geben", "gegeben": "geben",
+    "nahm": "nehmen", "nahmen": "nehmen", "genommen": "nehmen",
+    "fand": "finden", "fanden": "finden", "gefunden": "finden",
+    "stand": "stehen", "standen": "stehen", "gestanden": "stehen",
+    "sprach": "sprechen", "sprachen": "sprechen",
+    "gesprochen": "sprechen",
+    "sagte": "sagen", "sagten": "sagen", "gesagt": "sagen",
+    "machte": "machen", "machten": "machen", "gemacht": "machen",
+    "wusste": "wissen", "wussten": "wissen", "gewusst": "wissen",
+    "weiß": "wissen", "weißt": "wissen",
+    "dachte": "denken", "dachten": "denken", "gedacht": "denken",
+    "brachte": "bringen", "brachten": "bringen", "gebracht": "bringen",
+    "hielt": "halten", "hielten": "halten", "gehalten": "halten",
+    "ließ": "lassen", "ließen": "lassen", "gelassen": "lassen",
+    "lief": "laufen", "liefen": "laufen", "gelaufen": "laufen",
+    "fiel": "fallen", "fielen": "fallen", "gefallen": "fallen",
+    "fuhr": "fahren", "fuhren": "fahren", "gefahren": "fahren",
+    "blieb": "bleiben", "blieben": "bleiben", "geblieben": "bleiben",
+    "hieß": "heißen", "hießen": "heißen", "geheißen": "heißen",
+    "schrieb": "schreiben", "schrieben": "schreiben",
+    "geschrieben": "schreiben",
+    "las": "lesen", "lasen": "lesen", "gelesen": "lesen",
+    "aß": "essen", "aßen": "essen", "gegessen": "essen",
+    "trank": "trinken", "tranken": "trinken", "getrunken": "trinken",
+    "starb": "sterben", "starben": "sterben", "gestorben": "sterben",
+    "kannte": "kennen", "kannten": "kennen", "gekannt": "kennen",
+    "nannte": "nennen", "nannten": "nennen", "genannt": "nennen",
+    "rief": "rufen", "riefen": "rufen", "gerufen": "rufen",
+    "trug": "tragen", "trugen": "tragen", "getragen": "tragen",
+    "zog": "ziehen", "zogen": "ziehen", "gezogen": "ziehen",
+    "flog": "fliegen", "flogen": "fliegen", "geflogen": "fliegen",
+    "verlor": "verlieren", "verloren": "verlieren",
+    # modals
+    "kann": "können", "kannst": "können", "konnte": "können",
+    "konnten": "können", "gekonnt": "können", "könnte": "können",
+    "muss": "müssen", "musst": "müssen", "musste": "müssen",
+    "mussten": "müssen", "müsste": "müssen",
+    "will": "wollen", "willst": "wollen", "wollte": "wollen",
+    "wollten": "wollen", "gewollt": "wollen",
+    "soll": "sollen", "sollst": "sollen", "sollte": "sollen",
+    "sollten": "sollen",
+    "darf": "dürfen", "darfst": "dürfen", "durfte": "dürfen",
+    "durften": "dürfen", "dürfte": "dürfen",
+    "mag": "mögen", "magst": "mögen", "mochte": "mögen",
+    "mochten": "mögen", "möchte": "mögen", "möchten": "mögen",
+}
+
+# derivational plurals that are safe to singularize (suffix is unambiguous)
+_DE_SAFE_PLURALS = (
+    ("ungen", "ung"),     # zeitungen → zeitung
+    ("heiten", "heit"),   # schönheiten → schönheit
+    ("keiten", "keit"),   # möglichkeiten → möglichkeit
+    ("schaften", "schaft"),  # freundschaften → freundschaft
+    ("ismen", "ismus"),   # organismen → organismus
+    ("innen", "in"),      # lehrerinnen → lehrerin
+)
+
+
+def german_lemma(word: str) -> str:
+    """Deterministic German lemma of a lowercase alpha word — irregular
+    table plus only unambiguous derivational-plural rules."""
+    if word in IRREGULAR_DE:
+        return IRREGULAR_DE[word]
+    for suf, rep in _DE_SAFE_PLURALS:
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            return word[: -len(suf)] + rep
+    return word
+
+
 _REGISTRY: dict[str, Lemmatizer | None] = {
     "identity": None,
     "english": english_lemma,
+    "german": german_lemma,
 }
 
 
-def get_lemmatizer(name: str | None) -> Lemmatizer | None:
-    """Resolve a lemmatizer by registry name (None/'identity' → no-op).
-    Callables pass through, so cluster images with spaCy can inject one."""
-    if name is None or callable(name):
-        return name  # type: ignore[return-value]
+def get_lemmatizer(name):
+    """Resolve a lemmatizer spec (None/'identity' → no-op). Callables pass
+    through, so cluster images with spaCy can inject one. A dict
+    ``{lang: spec}`` resolves to a ``ByLanguage`` router — the reference
+    picks its spaCy model per document language
+    (extract_words.py:60,348,370), and this is the seam's analog."""
+    if name is None or isinstance(name, ByLanguage) or callable(name):
+        return name
+    if isinstance(name, dict):
+        return ByLanguage(name)
     try:
         return _REGISTRY[name]
     except KeyError:
         raise ValueError(
             f"unknown lemmatizer {name!r}; known: {sorted(_REGISTRY)}"
         ) from None
+
+
+class ByLanguage:
+    """Per-language lemmatizer routing (T1 seam, multilingual form): the
+    engine analog of the reference's ``SPACY_MODEL_NAME[lang]`` model
+    selection (extract_words.py:60,348,370). ``mapping`` values are registry
+    names or callables; ``default`` applies to unlisted languages (None =
+    identity). The batch tokenizer splits each Arrow batch by document
+    language so per-unique-token lemma memoization stays correct per
+    language (textparse_vec.tokenize_batch)."""
+
+    def __init__(self, mapping: dict, default=None):
+        self.mapping = {
+            k: get_lemmatizer(v) for k, v in sorted(mapping.items())
+        }
+        self.default = get_lemmatizer(default)
+
+        def _n(f):
+            return getattr(f, "__name__", "identity") if f else "identity"
+
+        inner = ",".join(f"{k}={_n(v)}" for k, v in self.mapping.items())
+        # stable name: build_index records it in stats.json as part of the
+        # tokenizer version (cache/lineage key) — must not contain object ids
+        self.__name__ = f"bylang({inner};default={_n(self.default)})"
+
+    def for_lang(self, lang: str | None) -> Lemmatizer | None:
+        return self.mapping.get(lang or "en", self.default)
+
+    def __repr__(self) -> str:
+        return self.__name__

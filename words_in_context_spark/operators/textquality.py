@@ -47,6 +47,41 @@ LANG_MARKERS: dict[str, list[str]] = {
     "vi": ["của", "và", "các", "có", "được", "không", "là", "trong"],
     "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"],
     "he": ["של", "את", "על", "לא", "זה", "אני", "הוא", "עם"],
+    # round-4 breadth extension: the remaining space-delimited languages of
+    # the reference's langdetect profile set (extract_words.py:165-181).
+    # Marker choice rules as above, plus: where two languages share most
+    # high-frequency words (cs/sk, bg/mk, nl/af, hi/mr/ne), each list leans
+    # on forms DISTINCTIVE for that language so the denser original lists
+    # keep winning their own documents. Still out of scope (documented):
+    # ja/ko/zh (no word boundaries for the letter-run tokenizer) and th
+    # (script runs, no spaces) — those report 'und'.
+    "af": ["die", "het", "nie", "vir", "ek", "jy", "wat", "maar"],
+    "bg": ["на", "не", "да", "се", "това", "той", "за", "ми"],
+    "bn": ["এবং", "না", "আমি", "এই", "করে", "থেকে", "তার", "কিন্তু"],
+    "ca": ["és", "amb", "els", "per", "una", "més", "com", "dels"],
+    "cy": ["yn", "bod", "wedi", "gan", "fod", "ond", "mae", "hyn"],
+    "et": ["ja", "on", "ei", "oli", "aga", "mis", "oma", "nagu"],
+    "fa": ["در", "از", "که", "به", "را", "این", "با", "است"],
+    "gu": ["અને", "એક", "છે", "તે", "આ", "હું", "ના", "માટે"],
+    "hi": ["है", "के", "में", "की", "और", "से", "का", "को"],
+    "hr": ["je", "da", "se", "su", "što", "ali", "kao", "nije"],
+    "kn": ["ಮತ್ತು", "ಒಂದು", "ಎಂದು", "ಅದು", "ಈ", "ನಾನು", "ಇದೆ", "ಅವರ"],
+    "lt": ["ir", "yra", "kad", "tai", "bet", "jis", "su", "kaip"],
+    "lv": ["un", "ir", "ka", "tas", "bet", "viņš", "ar", "kā"],
+    "mk": ["на", "не", "да", "се", "тоа", "што", "го", "ми"],
+    "ml": ["എന്ന", "ഒരു", "ആണ്", "അത്", "ഈ", "ഞാൻ", "ഇല്ല", "അവൻ"],
+    "mr": ["आणि", "एक", "आहे", "तो", "हे", "मी", "नाही", "त्या"],
+    "ne": ["छ", "छन्", "गर्न", "भएको", "लागि", "हुन्छ", "यो", "हो"],
+    "pa": ["ਅਤੇ", "ਇੱਕ", "ਹੈ", "ਦੇ", "ਵਿੱਚ", "ਦੀ", "ਨੂੰ", "ਇਹ"],
+    "sk": ["sa", "na", "že", "je", "to", "ale", "som", "ako"],
+    "sl": ["je", "da", "se", "ne", "so", "kar", "tudi", "tako"],
+    "so": ["oo", "waa", "iyo", "waxaa", "ayaa", "uu", "ku", "soo"],
+    "sq": ["dhe", "të", "në", "për", "një", "me", "që", "nuk"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "hii"],
+    "ta": ["மற்றும்", "ஒரு", "என்று", "அது", "இது", "நான்", "அந்த", "உள்ள"],
+    "te": ["మరియు", "ఒక", "అని", "ఆ", "ఈ", "నేను", "కాదు", "ఉంది"],
+    "tl": ["ang", "ng", "sa", "na", "ay", "mga", "ako", "hindi"],
+    "ur": ["کے", "میں", "کی", "اور", "سے", "کا", "کو", "ہے"],
 }
 
 
@@ -63,7 +98,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     toks = tokens_simple(docs, id_col, text_col)
     # ONE pass: broadcast the (lang, term) marker dimension and join — the
     # per-language union-of-filters alternative scans the token table once
-    # PER LANGUAGE (23 scans at current breadth). A marker shared by two
+    # PER LANGUAGE (50 scans at current breadth). A marker shared by two
     # languages contributes a vote to each, same as the oracle's CTE join.
     spark = docs.sparkSession
     markers = spark.createDataFrame(

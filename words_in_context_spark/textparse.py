@@ -268,12 +268,20 @@ def tokenize_lines(
          each alpha-bearing part is emitted (T6), incrementing pos and the
          document word counter per emitted part (T7/T8).
 
+    ``lemmatizer`` may be a ``lemma.ByLanguage`` router — resolved here for
+    this document's ``lang``, mirroring the reference's per-language model
+    pick (extract_words.py:348,370).
     ``lemmatizer`` is the T1 seam (reference lemmatizes with spaCy,
     extract_words.py:207-211 — unavailable here): a ``str -> str`` callable
     applied to each emitted normalized part (see lemma.py; identity when
     None). Apostrophe-rule tokens stay raw, matching the reference's
     keep-as-is branch (extract_words.py:266-276).
     """
+    from .lemma import ByLanguage
+
+    if isinstance(lemmatizer, ByLanguage):
+        lemmatizer = lemmatizer.for_lang(lang)
+
     result = DocTokens()
     in_sound_desc = False
 

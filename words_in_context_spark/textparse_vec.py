@@ -83,8 +83,31 @@ def tokenize_batch(
     where doc_idx indexes into the input lists (caller maps back to url).
 
     ``lemmatizer`` (T1 seam, see lemma.py): applied to every normalized part,
-    once per unique raw token; apostrophe-rule tokens stay raw. Pass a
-    lang-aware callable for multilingual corpora."""
+    once per unique raw token; apostrophe-rule tokens stay raw. A
+    ``lemma.ByLanguage`` router (or dict spec resolved to one) is honored by
+    splitting the batch per document language — the per-unique-token lemma
+    memoization below is only valid within one language."""
+    from .lemma import ByLanguage
+
+    if isinstance(lemmatizer, ByLanguage):
+        langs_f = [lg if lg else "en" for lg in langs]
+        frames = []
+        for lg in sorted(set(langs_f)):
+            sel = [i for i, x in enumerate(langs_f) if x == lg]
+            sub = tokenize_batch(
+                [urls[i] for i in sel],
+                [texts[i] for i in sel],
+                [langs_f[i] for i in sel],
+                lemmatizer=lemmatizer.for_lang(lg),
+            )
+            if not sub.empty:
+                remap = np.asarray(sel, dtype=np.int64)
+                sub["doc_idx"] = remap[sub["doc_idx"].to_numpy(dtype=np.int64)]
+                frames.append(sub)
+        if not frames:
+            return pd.DataFrame(columns=TOKEN_COLS)
+        return pd.concat(frames, ignore_index=True)
+
     # ---- explode docs → lines → raw tokens (C-speed pandas) ---------------
     doc_idx_l, line_id_l, line_l = [], [], []
     for di, text in enumerate(texts):
