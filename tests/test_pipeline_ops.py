@@ -240,3 +240,74 @@ def test_ivf_ann_recall_and_exactness(spark):
     f = {(r["q_id"], r["vec_id"], r["rank"]) for r in full.collect()}
     bb = {(r["q_id"], r["vec_id"], r["rank"]) for r in brute.collect()}
     assert f == bb
+
+
+def test_connected_components_explicit_graph(spark):
+    """Min-label propagation over known graphs: a 6-node path (diameter
+    forces multiple rounds), a triangle, and an isolated pair — component
+    id must be the min node of each component for every node."""
+    pairs = spark.createDataFrame(
+        [
+            # path 10-11-12-13-14-15 given as shuffled edges
+            (12, 13), (10, 11), (14, 15), (11, 12), (13, 14),
+            # triangle 20-21-22
+            (20, 21), (21, 22), (20, 22),
+            # isolated pair
+            (30, 31),
+        ],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_clusters_planted_dups(spark, docs_with_dups):
+    """Each planted near-dup pair (i, i+100000) must land in one component
+    whose id is the original doc_id."""
+    sh = dedup.shingles(docs_with_dups)
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.jaccard_pairs(sh, candidates=dedup.lsh_candidate_pairs(sig))
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    planted = {
+        (r["a"], r["b"]) for r in pairs.where(
+            F.col("b") == F.col("a") + 100000).collect()
+    }
+    assert planted  # non-vacuous
+    for a, b in planted:
+        assert comp[b] == comp[a] <= a
+
+
+def test_repetition_stats_known_doc(spark):
+    """Hand-computable doc: 'aa aa aa bb cc aa' → top unigram 4/6; top
+    bigram 'aa aa' count 3, chars 3*4=12 of 12 total; duplicated trigram
+    'aa aa aa'? appears once only — but 'aa aa' trigrams: positions
+    (aa,aa,aa) once → no duplicate trigram → 0."""
+    from words_in_context_spark.operators.textquality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb cc aa"), (2, "xx yy zz ww")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert r1["top_unigram_frac"] == round(4 / 6, 6)
+    # bigrams: (aa,aa) x2, (aa,bb), (bb,cc), (cc,aa) → top 'aa aa' c=2,
+    # chars covered 2 * 4 = 8 of 12 word chars
+    assert r1["top_bigram_char_frac"] == round(8 / 12, 6)
+    # trigrams all distinct → dup fraction 0
+    assert r1["dup_trigram_char_frac"] == 0.0
+    assert r1["keep"] is False  # too few words + repetitive
+    r2 = rows[2]
+    assert r2["top_unigram_frac"] == 0.25
+    assert r2["keep"] is False  # n_words < 20

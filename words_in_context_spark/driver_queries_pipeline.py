@@ -130,6 +130,19 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs_with_dups(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERING: connected components over the LSH-verified
+    Jaccard pair graph (canonical-doc assignment: cluster id = component min
+    doc_id). Iterative min-label propagation as DataFrame rounds; the
+    oracle replays it as a recursive transitive-closure CTE."""
+    sh = dedup.shingles(_docs_with_dups(spark, sf_dir))
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.jaccard_pairs(sh, candidates=dedup.lsh_candidate_pairs(sig))
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -243,6 +256,12 @@ def q_fingerprint(spark, sf_dir):
     return textquality.fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filters (top-unigram / top-bigram-chars /
+    duplicated-trigram-chars fractions + composite keep decision)."""
+    return textquality.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: wrap text bytes as an opaque media column,
     surface typed metadata (byte length + digest)."""
@@ -324,6 +343,8 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_dedup": q_jaccard_dedup,
     "simhash": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "repetition_filter": q_repetition_filter,
     "html_extract": q_html_extract,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -682,6 +703,95 @@ def _html_extract_sql() -> str:
         FROM v
     """
 
+
+ORACLE_SQL["dedup_clusters"] = f"""
+    WITH RECURSIVE jp AS ({ORACLE_SQL["jaccard_dedup"]}),
+    edges AS (
+      SELECT a AS src, b AS dst FROM jp
+      UNION
+      SELECT b AS src, a AS dst FROM jp
+    ),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.src AS node, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
+"""
+
+ORACLE_SQL["repetition_filter"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, len(words) AS n_words,
+             coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+               AS n_chars
+      FROM base
+    ),
+    uni AS (
+      SELECT doc_id, max(c) AS uni_c FROM (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS w FROM base) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    bipos AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 1, 1))) AS i
+      FROM base
+    ),
+    bi0 AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+      FROM bipos WHERE i + 1 <= len(words)
+    ),
+    topbi AS (
+      SELECT doc_id, c AS bi_c, g AS bi_g FROM (
+        SELECT doc_id, g, c, row_number() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM (SELECT doc_id, g, count(*) AS c FROM bi0 GROUP BY 1, 2)
+      ) WHERE rn = 1
+    ),
+    tripos AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM base
+    ),
+    tri0 AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+      FROM tripos WHERE i + 2 <= len(words)
+    ),
+    duptri AS (
+      SELECT doc_id, sum(c * (length(g) - 2)) AS dup_chars
+      FROM (SELECT doc_id, g, count(*) AS c FROM tri0 GROUP BY 1, 2)
+      WHERE c > 1 GROUP BY doc_id
+    ),
+    feat AS (
+      SELECT s.doc_id,
+        CAST(s.n_words AS BIGINT) AS n_words,
+        round(coalesce(u.uni_c, 0)
+              / CAST(greatest(s.n_words, 1) AS DOUBLE), 6)
+          AS top_unigram_frac,
+        round(coalesce(tb.bi_c * (length(tb.bi_g) - 1), 0)
+              / CAST(greatest(s.n_chars, 1) AS DOUBLE), 6)
+          AS top_bigram_char_frac,
+        round(coalesce(d.dup_chars, 0)
+              / CAST(greatest(s.n_chars, 1) AS DOUBLE), 6)
+          AS dup_trigram_char_frac
+      FROM stats s
+      LEFT JOIN uni u USING (doc_id)
+      LEFT JOIN topbi tb USING (doc_id)
+      LEFT JOIN duptri d USING (doc_id)
+    )
+    SELECT doc_id, n_words, top_unigram_frac, top_bigram_char_frac,
+           dup_trigram_char_frac,
+           (n_words >= 20 AND top_unigram_frac <= 0.12
+            AND top_bigram_char_frac <= 0.12
+            AND dup_trigram_char_frac <= 0.25) AS keep
+    FROM feat
+"""
 
 ORACLE_SQL["html_extract"] = _html_extract_sql()
 

@@ -202,3 +202,72 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             ).alias("simhash")
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster the near-duplicate pair graph: (node, component), component =
+    the minimum node id in the connected component — the canonical-document
+    assignment a dedup pipeline needs after pair verification (keep the
+    component min, drop the rest).
+
+    Min-label propagation as an iterative DataFrame loop: each round every
+    node takes min(own label, neighbors' labels); stop when a round changes
+    nothing (convergence is exact — labels only decrease and the min is a
+    fixpoint). Rounds needed = graph diameter, which for near-dup clusters
+    is small (similarity is near-transitive, so components are dense); the
+    localCheckpoint per round truncates the growing lineage. For adversarial
+    long-chain graphs at 10^12 scale, swap the body for the large-star/
+    small-star contraction (Kiveris et al., CC in MapReduce) — same loop
+    shape, O(log n) rounds; the propagation form is kept here because it is
+    exactly SQL-expressible (the DuckDB oracle replays it as a recursive
+    transitive-closure CTE) and its per-round cost is one shuffle on node.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -191,6 +191,122 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021's repetition
+    filters, the standard pre-training corpus hygiene pass): per document,
+    the fraction of words taken by the most frequent unigram, the fraction
+    of word characters covered by the most frequent 2-gram, and the
+    fraction of word characters inside duplicated 3-grams — plus a
+    composite ``keep`` decision. All built-in expressions (explode +
+    hash-agg per doc: scale-safe, no UDF).
+
+    (id, n_words, top_unigram_frac, top_bigram_char_frac,
+    dup_trigram_char_frac, keep). Fractions are int-ratio → double,
+    rounded 6dp (cross-engine exact); ``keep`` is computed from the
+    ROUNDED values so the boolean is exact too. Most-frequent n-gram ties
+    break by n-gram text ascending (deterministic in both engines)."""
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}]+"), lambda w: w != ""
+    )
+    base = docs.select(F.col(id_col), words.alias("words"))
+    stats = base.select(
+        id_col,
+        F.size("words").alias("n_words"),
+        F.coalesce(
+            F.aggregate("words", F.lit(0), lambda a, w: a + F.length(w)),
+            F.lit(0),
+        ).alias("n_chars"),
+    )
+
+    uni = (
+        base.select(F.col(id_col), F.explode("words").alias("w"))
+        .groupBy(id_col, "w")
+        .count()
+    )
+    topuni = uni.groupBy(id_col).agg(F.max("count").alias("uni_c"))
+
+    def grams(n: int):
+        return (
+            base.where(F.size("words") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("words") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("words"), i + j)
+                                for j in range(n)
+                            ],
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .groupBy(id_col, "g")
+            .count()
+        )
+
+    w_bi = Window.partitionBy(id_col).orderBy(F.desc("count"), F.asc("g"))
+    topbi = (
+        grams(2)
+        .withColumn("rn", F.row_number().over(w_bi))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("count").alias("bi_c"),
+            F.col("g").alias("bi_g"),
+        )
+    )
+    duptri = (
+        grams(3)
+        .where(F.col("count") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("count") * (F.length("g") - 2)).alias("dup_chars")
+        )
+    )
+
+    top_uni_frac = F.round(
+        F.coalesce(F.col("uni_c"), F.lit(0))
+        / F.greatest(F.col("n_words"), F.lit(1)),
+        6,
+    )
+    top_bi_frac = F.round(
+        F.coalesce(F.col("bi_c") * (F.length("bi_g") - 1), F.lit(0))
+        / F.greatest(F.col("n_chars"), F.lit(1)),
+        6,
+    )
+    dup_tri_frac = F.round(
+        F.coalesce(F.col("dup_chars"), F.lit(0))
+        / F.greatest(F.col("n_chars"), F.lit(1)),
+        6,
+    )
+    out = (
+        stats.join(topuni, id_col, "left")
+        .join(topbi, id_col, "left")
+        .join(duptri, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            top_uni_frac.alias("top_unigram_frac"),
+            top_bi_frac.alias("top_bigram_char_frac"),
+            dup_tri_frac.alias("dup_trigram_char_frac"),
+        )
+    )
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("top_unigram_frac") <= 0.12)
+        & (F.col("top_bigram_char_frac") <= 0.12)
+        & (F.col("dup_trigram_char_frac") <= 0.25)
+    )
+    return out.withColumn("keep", keep)
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 gram: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over all
