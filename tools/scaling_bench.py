@@ -73,6 +73,37 @@ print(json.dumps({{"cores": cores, "n_docs": n_docs, "sec": round(sec, 2),
 """
 
 
+def _cpu_probe() -> float:
+    """Pure-CPU 2-vs-8 multiprocessing probe (~20 s): the host-window
+    go/no-go. ~0.95 = the hypervisor is delivering cycles at both widths;
+    well below that = capped window and the Spark pair measured next to it
+    inherits the cap. Recorded per pair so every efficiency sample carries
+    its own window attribution."""
+    import multiprocessing as mp
+
+    def measure(procs: int, n: int = 8_000_000) -> float:
+        pre = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(procs)))
+        try:
+            t0 = __import__("time").time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [n] * procs * 3)
+            return procs * 3 * n / (__import__("time").time() - t0)
+        finally:
+            os.sched_setaffinity(0, pre)
+
+    lo = measure(2)
+    hi = measure(8)
+    return round(hi / lo / 4.0, 3)
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def run_level(cores: int, n_docs: int) -> dict:
     code = _CHILD.format(repo=REPO)
     # hard CPU affinity: local[N] only caps Spark TASK slots — JVM-internal
@@ -111,17 +142,24 @@ def main() -> None:
     # median pair is reported (best pair also shown).
     pairs = []
     for _ in range(n_pairs):
+        probe = _cpu_probe()  # window go/no-go, co-timestamped with the pair
         lo = run_level(2, n_docs)
         hi = run_level(8, n_docs)
-        pairs.append(
-            {
-                "lo": lo,
-                "hi": hi,
-                "efficiency": round(
-                    (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0, 3
-                ),
-            }
-        )
+        pair = {
+            "lo": lo,
+            "hi": hi,
+            "probe_eff": probe,
+            "efficiency": round(
+                (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0, 3
+            ),
+        }
+        # per-busy-core RATE parity: the statistic that discriminates host
+        # cycle caps from engine scaling (session L: a 7.47/8-busy hi run
+        # still rate-capped at 0.50 parity — utilization screens can't)
+        lo_rate = lo["docs_per_sec"] / max(lo.get("busy_cores") or 0, 0.1)
+        hi_rate = hi["docs_per_sec"] / max(hi.get("busy_cores") or 0, 0.1)
+        pair["rate_parity"] = round(hi_rate / lo_rate, 3)
+        pairs.append(pair)
     pairs.sort(key=lambda p: p["efficiency"])
     median_pair = pairs[len(pairs) // 2] if len(pairs) % 2 else pairs[len(pairs) // 2 - 1]
     # Two estimators, both reported (keys name the levels actually measured —
@@ -161,10 +199,25 @@ def main() -> None:
     eff_gate = round(
         statistics.median(p["efficiency"] for p in gate_pairs), 3
     )
+    # SUPPLEMENTARY (round 4, not the gate): median over pairs whose
+    # CO-TIMESTAMPED pure-CPU probe confirms the host delivered ≥0.93 of
+    # ideal 2→8 scaling in that window. The probe is an independent
+    # instrument (no JVM/shuffle), so this screen conditions on the host,
+    # not on the outcome variable — unlike busy_cores, which session L
+    # showed cannot certify a window (7.47/8 busy yet rate-capped 0.50).
+    probe_clean = [
+        p for p in pairs if (p.get("probe_eff") or 0) >= 0.93
+    ]
+    eff_probe_clean = (
+        round(statistics.median(p["efficiency"] for p in probe_clean), 3)
+        if probe_clean else None
+    )
     result = {
         "metric": "index_build_scaling_efficiency",
         "n_docs": n_docs,
         "pairs": [p["efficiency"] for p in pairs],
+        "probe_effs": [p.get("probe_eff") for p in pairs],
+        "rate_parities": [p.get("rate_parity") for p in pairs],
         "clean_pairs": [p["efficiency"] for p in clean_pairs],
         "runs": [
             {"level": lvl, **p[k]}
@@ -181,6 +234,8 @@ def main() -> None:
         ),
         "efficiency_capacity": eff_capacity,
         "efficiency_median": eff_median,
+        "efficiency_probe_clean": eff_probe_clean,
+        "probe_clean_pairs": [p["efficiency"] for p in probe_clean],
         "threshold": 0.8,
         "pass": eff_gate >= 0.8,
     }
@@ -222,6 +277,10 @@ are biased optimistic, so capacity no longer decides PASS):
 | local[8] (4N) | {result['local8']['sec']} | {result['local8']['docs_per_sec']} |
 
 Pair efficiencies (interleaved back-to-back lo/hi): {result['pairs']};
+per-pair pure-CPU window probes (2→8 multiprocessing, ~0.95 = cycles fully
+delivered): {result['probe_effs']}; per-busy-core RATE parity (hi rate / lo
+rate — the statistic that separates host cycle caps from engine scaling):
+{result['rate_parities']};
 busy_cores-clean pairs (both runs ≥90% of their pinned cores busy):
 {result['clean_pairs']}. N=2/4N=8 because a pure-CPU probe shows the
 hypervisor itself only scales 0.68× from 8→32 threads; each level
