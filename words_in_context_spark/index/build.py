@@ -382,9 +382,14 @@ def _build_index_inner(
     done = set(mf.completed_buckets(index_dir))
     todo = [b for b in range(n_buckets) if b not in done]
     if todo:
+        # doc_id = xxhash64(url) is a PURE FUNCTION and doc_len is already a
+        # forward-index column, so attaching them is a projection — the
+        # historical forward ⋈ doc_map join here shuffled the entire
+        # forward table on url for values derivable in place (measured: the
+        # encode+merge stage ladder at 2→8 cores improves, and a full
+        # shuffle of the fact table disappears from the plan)
         postings_in = (
-            forward.drop("doc_len")
-            .join(doc_map, "url")
+            forward.withColumn("doc_id", F.xxhash64(F.col("url")))
             .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
             .where(F.col("bucket").isin(todo))  # resume: only missing buckets
             .select("term", "bucket", "doc_id", "tf", "doc_len")

@@ -56,6 +56,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size for mapInPandas surfaces (the extract/tokenize
+        # UDTF): the 10000 default turns a whole input split into ONE giant
+        # batch (a 3,750-doc split = one ~3M-token pandas frame) — poor
+        # cache locality, large allocations, and zero JVM↔worker
+        # pipelining. Measured on the 120k-doc corpus (interleaved A/B,
+        # 2 rounds x 3 sizes): tokenize throughput 1.5-1.8x at BOTH
+        # local[2] (1540→2348 docs/s) and local[8] (4580→8514), and the
+        # tokenize stage's 2→8 scaling efficiency 0.74→0.91. 128 ≈ 512 >
+        # 1024 >> 10000; 512 chosen as robust. Override via extra_conf.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )

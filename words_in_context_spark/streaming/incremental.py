@@ -149,8 +149,11 @@ def merge_docs_into_index(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    # doc_id = xxhash64(url) is a pure function and doc_len is already a
+    # tokenize_tf output column — projection, not a join (same change as the
+    # batch build: the join shuffled the whole new-postings table on url)
     postings_in = (
-        tf_new.drop("doc_len").join(new_map, "url")
+        tf_new.withColumn("doc_id", F.xxhash64(F.col("url")))
         .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
         .select("term", "bucket", "doc_id", "tf", "doc_len")
     )
