@@ -818,3 +818,79 @@ def test_delete_tombstone_then_compaction_equals_batch(spark, tmp_path):
     assert merge_docs_into_index(spark, _pages_df(spark, [victims[0]]), idx) == 1
     h3 = load_index(idx)
     assert spark.read.parquet(h3.doc_map_path).count() == 17
+
+
+def test_delete_all_docs_then_compact_empties_index(spark, tmp_path):
+    """Edge: tombstoning EVERY document must empty retrieval immediately,
+    and compaction must produce a structurally-empty index (zero segment
+    rows, empty doc_map/positions, n_docs 0) that a later merge can
+    repopulate from scratch."""
+    from words_in_context_spark.index.build import (
+        compact_index,
+        delete_docs,
+        read_tombstone_ids,
+    )
+
+    pages = generate_pages(6, seed=81)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _pages_df(spark, pages), idx,
+                n_buckets=4, n_salts=2, with_positions=True)
+    assert delete_docs(spark, idx, [p["url"] for p in pages]) == 6
+
+    h = load_index(idx)
+    assert h.n_live_docs == 0
+    assert query_topk_local(spark, h, ["the", "storm"], k=5) == []
+
+    out = compact_index(spark, idx)
+    assert out["tombstones_purged"] == 6
+    assert read_tombstone_ids(idx).size == 0
+    assert mf.read_stats(idx)["n_docs"] == 0
+    from words_in_context_spark.index.build import SEGMENT_SCHEMA
+
+    seg = spark.read.schema(SEGMENT_SCHEMA).parquet(f"{idx}/segments")
+    assert seg.count() == 0  # every term dropped; bucket dirs GC'd
+    h2 = load_index(idx)
+    assert spark.read.parquet(h2.doc_map_path).count() == 0
+
+    # the index is still alive: a merge repopulates it
+    assert merge_docs_into_index(spark, _pages_df(spark, pages[:3]), idx) == 3
+    h3 = load_index(idx)
+    assert query_topk_local(spark, h3, ["the"], k=5)
+
+
+def test_delete_then_merge_new_docs_drops_tombstoned_postings(spark, tmp_path):
+    """Merging NEW docs after a delete must (a) not resurrect tombstoned
+    postings for terms it decode-merges, (b) leave the tombstone set
+    intact, (c) keep results equal to the logical view."""
+    from words_in_context_spark.index.build import delete_docs
+    from words_in_context_spark.index.query import _row_to_encoded
+    from words_in_context_spark.operators.codec import decode_postings
+
+    pages = generate_pages(14, seed=82)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _pages_df(spark, pages[:10]), idx,
+                n_buckets=4, n_salts=2)
+    victims = pages[:2]
+    assert delete_docs(spark, idx, [p["url"] for p in victims]) == 2
+    dead = {
+        r["doc_id"] for r in spark.read.parquet(f"{idx}/doc_map")
+        .join(spark.createDataFrame([(p["url"],) for p in victims],
+                                    "url string"), "url", "left_semi")
+        .collect()
+    }
+
+    assert merge_docs_into_index(spark, _pages_df(spark, pages[10:]), idx) == 4
+
+    # every merged term ("the" is in every doc → certainly decode-merged)
+    # must have been physically scrubbed of tombstoned ids
+    rec = (
+        spark.read.parquet(f"{idx}/segments")
+        .where(F.col("term") == "the").collect()[0].asDict()
+    )
+    ids, _, _ = decode_postings(_row_to_encoded(rec))
+    assert not (set(ids.tolist()) & dead)
+
+    h = load_index(idx)
+    assert h.tombstones.size == 2  # still logically excluded elsewhere
+    top = query_topk_local(spark, h, ["the", "storm"], k=20)
+    assert top and not ({d for d, _ in top} & dead)

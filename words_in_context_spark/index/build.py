@@ -53,6 +53,16 @@ from . import manifest as mf
 # documents from phrase results.
 POSITIONS_SCHEMA_VERSION = 2
 
+# Read schema of the positional store (v2 shape). Used wherever a read must
+# also serve a FILE-LESS store (every doc deleted + compacted): explicit
+# schemas skip parquet inference, and a pure-v1 store read through this
+# schema surfaces tok_ids as all-null — which is exactly what the schema
+# gates test for.
+POSITIONS_READ_SCHEMA = (
+    "bucket int, doc_id long, term string, "
+    "line_ids array<int>, tok_ids array<int>"
+)
+
 SEGMENT_SCHEMA = (
     "term string, bucket int, df long, cf long, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
@@ -392,7 +402,10 @@ def _build_index_inner(
             forward.withColumn("doc_id", F.xxhash64(F.col("url")))
             .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
             .where(F.col("bucket").isin(todo))  # resume: only missing buckets
-            .select("term", "bucket", "doc_id", "tf", "doc_len")
+            # bucket is NOT shuffled to the encode stage: _RUN_SCHEMA has no
+            # bucket column and _merge_runs recomputes it from the term —
+            # carrying it would add dead weight to the build's widest shuffle
+            .select("term", "doc_id", "tf", "doc_len")
         )
         runs = (
             postings_in.withColumn("salt", range_salt(F.col("doc_id"), n_salts))
@@ -602,7 +615,9 @@ def _bucket_metrics(
     is the actual on-disk size of each committed bucket partition — the
     honest ops metric — taken from the filesystem, no Spark job."""
     rows = (
-        spark.read.parquet(seg_path)
+        # explicit schema: a segments dir whose every bucket vanished (all
+        # docs tombstoned + compacted) has no files to infer from
+        spark.read.schema(SEGMENT_SCHEMA).parquet(seg_path)
         .where(F.col("bucket").isin(buckets))
         .groupBy("bucket")
         .agg(
@@ -694,6 +709,19 @@ def compact_index(
     # _touch_success at every writer, but indexes built before the stamp
     # exist) — and a store that is not migrated must NEVER be GC'd.
     if os.path.isdir(pos_src) and os.listdir(pos_src):
+        import glob as _glob
+
+        pos_dst = mf.data_dir(index_dir, "positions", new_g)
+        if not _glob.glob(os.path.join(pos_src, "**", "*.parquet"),
+                          recursive=True):
+            # structurally-empty store (every doc tombstoned): nothing to
+            # rewrite, but the new generation must EXIST for readers
+            os.makedirs(pos_dst, exist_ok=True)
+            _touch_success(pos_dst)
+            out["positions_compacted"] = True
+            migrated.append("positions")
+            pos_src = None  # handled
+    if pos_src is not None and os.path.isdir(pos_src) and os.listdir(pos_src):
         pos_dst = mf.data_dir(index_dir, "positions", new_g)
         # mergeSchema: a pre-versioning MIXED store (v1 files without tok_ids
         # plus later v2 appends — the hazard the merge gate in
@@ -712,6 +740,9 @@ def compact_index(
             .partitionBy("bucket")
             .parquet(pos_dst)
         )
+        # a dynamic-overwrite write of zero rows (all rows tombstoned)
+        # creates no directory at all — readers still need one to exist
+        os.makedirs(pos_dst, exist_ok=True)
         _touch_success(pos_dst)
         out["positions_compacted"] = True
         migrated.append("positions")
@@ -739,7 +770,7 @@ def compact_index(
         # output).
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         seg_path = os.path.join(index_dir, "segments")
-        seg = spark.read.parquet(seg_path)
+        seg = spark.read.schema(SEGMENT_SCHEMA).parquet(seg_path)
         old_buckets = sorted(
             int(r["bucket"]) for r in seg.select("bucket").distinct().collect()
         )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..operators.codec import EncodedPostings
 from ..operators.topk import brute_force_topk, hybrid_topk, wand_topk
 from . import manifest as mf
-from .build import _py_bucket
+from .build import POSITIONS_READ_SCHEMA, _py_bucket
 
 
 @dataclass
@@ -113,9 +113,13 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def _segment_rows(spark: SparkSession, h: IndexHandle, terms: list[str]) -> DataFrame:
+    from .build import SEGMENT_SCHEMA
+
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
     return (
-        spark.read.parquet(h.segments_path)
+        # explicit schema: also serves a structurally-empty index (every doc
+        # deleted + compacted) instead of failing schema inference
+        spark.read.schema(SEGMENT_SCHEMA).parquet(h.segments_path)
         # bucket is the partition column → directory pruning; term is a
         # parquet min/max + dictionary pushdown on the sorted segment files
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
@@ -168,8 +172,12 @@ def _read_segment_rows_arrow(h: IndexHandle, terms: list[str]) -> dict:
     """Driver-side pruned read of segment rows via pyarrow — no Spark job.
     Partition (bucket) dirs are pruned by the dataset filter; term equality
     is pushed to parquet row groups. ~10-30ms vs ~300ms for a Spark job."""
+    import glob
+
     import pyarrow.dataset as ds
 
+    if not glob.glob(os.path.join(h.segments_path, "bucket=*", "*.parquet")):
+        return {}  # structurally-empty index (every doc deleted + compacted)
     buckets = sorted({_py_bucket(t, h.n_buckets) for t in terms})
     dataset = ds.dataset(h.segments_path, format="parquet", partitioning="hive")
     expr = ds.field("bucket").isin(buckets) & ds.field("term").isin(
@@ -365,7 +373,7 @@ def occurrences(
     return _without_tombstones(
         spark,
         h,
-        spark.read.parquet(path)
+        spark.read.schema(POSITIONS_READ_SCHEMA).parquet(path)
         .where(
             F.col("bucket").isin(buckets)
             & F.col("term").isin(terms)
@@ -392,7 +400,7 @@ def cooccurrence_topk(
     occ = _without_tombstones(
         spark,
         h,
-        spark.read.parquet(path)
+        spark.read.schema(POSITIONS_READ_SCHEMA).parquet(path)
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("doc_id", "term", F.explode("line_ids").alias("line_id"))
         .distinct(),
@@ -461,7 +469,7 @@ def phrase_matches_index(
     pos = _without_tombstones(
         spark,
         h,
-        spark.read.parquet(path)
+        spark.read.schema(POSITIONS_READ_SCHEMA).parquet(path)
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(set(phrase))))
         .select("doc_id", "term", "tok_ids"),
     )

@@ -152,10 +152,11 @@ def merge_docs_into_index(
     # doc_id = xxhash64(url) is a pure function and doc_len is already a
     # tokenize_tf output column — projection, not a join (same change as the
     # batch build: the join shuffled the whole new-postings table on url)
+    # bucket is not carried into the encode shuffle (recomputed post-merge
+    # from the term, same as the batch build)
     postings_in = (
         tf_new.withColumn("doc_id", F.xxhash64(F.col("url")))
-        .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
-        .select("term", "bucket", "doc_id", "tf", "doc_len")
+        .select("term", "doc_id", "tf", "doc_len")
     )
     new_runs = (
         postings_in.withColumn("salt", range_salt(F.col("doc_id"), n_salts))
@@ -170,7 +171,9 @@ def merge_docs_into_index(
             bucket_expr(F.col("term"), n_buckets).alias("bucket")
         ).distinct().collect()
     ]
-    old = spark.read.parquet(seg_path).where(
+    # explicit schema: serves the structurally-empty index case (every doc
+    # deleted + compacted) where the segments dir has no file to infer from
+    old = spark.read.schema(SEGMENT_SCHEMA).parquet(seg_path).where(
         F.col("bucket").isin(affected_buckets)
     )
     # untouched terms in affected buckets pass through unchanged; terms with
@@ -240,7 +243,14 @@ def merge_docs_into_index(
                 )
             stats["positions_schema"] = POSITIONS_SCHEMA_VERSION
 
-        already = spark.read.parquet(positions_path).select("doc_id").distinct()
+        from ..index.build import POSITIONS_READ_SCHEMA
+
+        already = (
+            spark.read.schema(POSITIONS_READ_SCHEMA)
+            .parquet(positions_path)
+            .select("doc_id")
+            .distinct()
+        )
         (
             _tokenize(fresh)
             .groupBy("url", "term")
