@@ -311,3 +311,67 @@ def test_repetition_stats_known_doc(spark):
     r2 = rows[2]
     assert r2["top_unigram_frac"] == 0.25
     assert r2["keep"] is False  # n_words < 20
+
+
+def test_pii_scrub_known_text(spark):
+    from words_in_context_spark.operators.preprocess import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.b_c%d+e@mail-host.example.org or 555-1234 now"),
+            (2, "server 10.0.255.7 and 192.168.1.1 clean text"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (1, 1, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) == (0, 0, 2)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ips"]) == (0, 0, 0)
+    # digest of doc 3 equals md5 of the untouched text
+    import hashlib
+
+    assert rows[3]["scrubbed_digest"] == hashlib.md5(
+        b"no pii here at all").hexdigest()
+
+
+def test_split_assign_fractions_and_stability(spark):
+    from words_in_context_spark.operators.preprocess import split_assign
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs).groupBy("split").count().collect()
+    frac = {r["split"]: r["count"] / 4000 for r in out}
+    assert 0.70 < frac["train"] < 0.80
+    assert 0.09 < frac["val"] < 0.16
+    assert 0.09 < frac["test"] < 0.16
+    # stability: same ids → same split on a re-run
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert a == b
+
+
+def test_sequence_packing_offsets_and_bins(spark):
+    from words_in_context_spark.operators.preprocess import sequence_packing
+
+    # one shard (n_shards=1): doc token counts 3, 4, 2, 5 with budget 6:
+    # start offsets 0, 3, 7, 9 → bins 0, 0, 1, 1
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f g"),
+            (2, "h i"),
+            (3, "j k l m n"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        sequence_packing(docs, budget=6, n_shards=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [(r["n_tokens"], r["start_offset"], r["bin"]) for r in rows] == [
+        (3, 0, 0), (4, 3, 0), (2, 7, 1), (5, 9, 1),
+    ]
+    # sharding bounds the window partitions: shard == doc_id % n
+    sh = {r["doc_id"]: r["shard"]
+          for r in sequence_packing(docs, n_shards=2).collect()}
+    assert sh == {0: 0, 1: 1, 2: 0, 3: 1}

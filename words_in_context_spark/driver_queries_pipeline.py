@@ -262,6 +262,54 @@ def q_repetition_filter(spark, sf_dir):
     return textquality.repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails / phones / IPv4 → typed placeholders, with
+    per-doc counts). The synthetic corpus is PII-free, so a deterministic
+    augmentation plants contact strings on every 5th/7th doc — constructed
+    identically in the oracle, so counts and scrubbed digests compare
+    exactly (the patterns are RE2-safe and shared verbatim)."""
+    from .operators import preprocess
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0199"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return preprocess.pii_scrub(docs.withColumn("text", aug))
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (75/12.5/12.5) —
+    stable across runs, engines, and partitioning."""
+    from .operators import preprocess
+
+    return preprocess.split_assign(_read(spark, sf_dir, "documents"))
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing: concat-and-cut documents into 512-token context
+    windows within 8 shards (per-shard running offsets — the global-order
+    window this would otherwise need is exactly what does not scale)."""
+    from .operators import preprocess
+
+    return preprocess.sequence_packing(_read(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: wrap text bytes as an opaque media column,
     surface typed metadata (byte length + digest)."""
@@ -345,6 +393,9 @@ QUERIES = {
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "repetition_filter": q_repetition_filter,
+    "pii_scrub": q_pii_scrub,
+    "split_assign": q_split_assign,
+    "sequence_packing": q_sequence_packing,
     "html_extract": q_html_extract,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -791,6 +842,69 @@ ORACLE_SQL["repetition_filter"] = """
             AND top_bigram_char_frac <= 0.12
             AND dup_trigram_char_frac <= 0.25) AS keep
     FROM feat
+"""
+
+def _pii_scrub_sql() -> str:
+    """Twin of q_pii_scrub, built from the SAME pattern constants
+    (operators/preprocess.py) so the two can never drift."""
+    from .operators.preprocess import EMAIL_PAT, IP_PAT, PHONE_PAT
+
+    e, p, i = _sql_quote(EMAIL_PAT), _sql_quote(PHONE_PAT), _sql_quote(IP_PAT)
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-0199' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          len(regexp_extract_all(text, {e})) AS n_emails,
+          len(regexp_extract_all(text, {p})) AS n_phones,
+          len(regexp_extract_all(text, {i})) AS n_ips,
+          md5(regexp_replace(regexp_replace(regexp_replace(
+                text, {e}, '<EMAIL>', 'g'),
+                {i}, '<IP>', 'g'),
+                {p}, '<PHONE>', 'g')) AS scrubbed_digest
+        FROM aug
+    """
+
+
+ORACLE_SQL["pii_scrub"] = _pii_scrub_sql()
+
+ORACLE_SQL["split_assign"] = """
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket_hex,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+ORACLE_SQL["sequence_packing"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+        -- CAST: DuckDB sum() OVER of BIGINT yields HUGEINT; start_offset is
+        -- an output column and the driver hash is type-sensitive
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             - n_tokens AS BIGINT) AS start_offset
+      FROM base
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(start_offset // 512 AS BIGINT) AS bin
+    FROM s
 """
 
 ORACLE_SQL["html_extract"] = _html_extract_sql()
