@@ -79,6 +79,23 @@ _RUN_SCHEMA = (
     "max_impact array<float>"
 )
 
+# Numeric-keyed twin of _RUN_SCHEMA for the batch build's hot path: the
+# encode shuffle + its Arrow surface carry term_id = xxhash64(term) instead
+# of the term string, so every shuffled/transferred column is fixed-width
+# (measured: the per-posting string column dominated the Arrow
+# serialize/convert cost of the encode stage — pandas string conversion
+# allocates a Python object per row, numerics are zero-copy). The string
+# comes back via a vocabulary dim cogrouped into the (already-happening)
+# merge shuffle; a driver-side guard falls back to the string path on the
+# ~v²/2⁶⁵ chance of a vocabulary hash collision.
+_RUN_SCHEMA_ID = (
+    "term_id long, salt int, df long, cf long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "first_doc array<long>, last_doc array<long>, n array<int>, "
+    "doc_off array<long>, tf_off array<long>, dl_off array<long>, "
+    "max_impact array<float>"
+)
+
 
 def range_salt(doc_id_col, n_salts: int):
     """Range-based salt over the full signed-int64 doc-id space: arithmetic
@@ -95,9 +112,9 @@ def range_salt(doc_id_col, n_salts: int):
     ).cast("int")
 
 
-def _encode_run(avgdl: float):
+def _encode_run(avgdl: float, key: str = "term"):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
+        term = pdf[key].iloc[0]
         salt = int(pdf["salt"].iloc[0])
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="mergesort")
         ids = pdf["doc_id"].to_numpy()[order]
@@ -117,7 +134,7 @@ def _encode_run(avgdl: float):
         return pd.DataFrame(
             [
                 {
-                    "term": term,
+                    key: term,
                     "salt": salt,
                     "df": enc.df,
                     "cf": enc.cf,
@@ -138,50 +155,84 @@ def _encode_run(avgdl: float):
     return fn
 
 
+def _concat_run_rows(pdf: pd.DataFrame) -> dict:
+    """Byte-concatenate a term's encoded salt runs (disjoint, ordered doc-id
+    ranges — see module docstring) without decoding; block offsets rebased."""
+    pdf = pdf.sort_values("salt")  # ranges are disjoint & ordered by salt
+    doc_bytes = b"".join(pdf["doc_bytes"])
+    tf_bytes = b"".join(pdf["tf_bytes"])
+    dl_bytes = b"".join(pdf["dl_bytes"])
+    first_doc, last_doc, n = [], [], []
+    doc_off, tf_off, dl_off, maxi = [], [], [], []
+    dbase = tbase = lbase = 0
+    for row in pdf.itertuples(index=False):
+        first_doc.extend(row.first_doc)
+        last_doc.extend(row.last_doc)
+        n.extend(row.n)
+        doc_off.extend(int(o) + dbase for o in row.doc_off)
+        tf_off.extend(int(o) + tbase for o in row.tf_off)
+        dl_off.extend(int(o) + lbase for o in row.dl_off)
+        maxi.extend(row.max_impact)
+        dbase += len(row.doc_bytes)
+        tbase += len(row.tf_bytes)
+        lbase += len(row.dl_bytes)
+    return {
+        "df": int(pdf["df"].sum()),
+        "cf": int(pdf["cf"].sum()),
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
+        "dl_bytes": dl_bytes,
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "n": n,
+        "doc_off": doc_off,
+        "tf_off": tf_off,
+        "dl_off": dl_off,
+        "max_impact": maxi,
+        "max_impact_all": float(max(maxi)),
+    }
+
+
 def _merge_runs(n_buckets: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
-        pdf = pdf.sort_values("salt")  # ranges are disjoint & ordered by salt
-        doc_bytes = b"".join(pdf["doc_bytes"])
-        tf_bytes = b"".join(pdf["tf_bytes"])
-        dl_bytes = b"".join(pdf["dl_bytes"])
-        first_doc, last_doc, n = [], [], []
-        doc_off, tf_off, dl_off, maxi = [], [], [], []
-        dbase = tbase = lbase = 0
-        for row in pdf.itertuples(index=False):
-            first_doc.extend(row.first_doc)
-            last_doc.extend(row.last_doc)
-            n.extend(row.n)
-            doc_off.extend(int(o) + dbase for o in row.doc_off)
-            tf_off.extend(int(o) + tbase for o in row.tf_off)
-            dl_off.extend(int(o) + lbase for o in row.dl_off)
-            maxi.extend(row.max_impact)
-            dbase += len(row.doc_bytes)
-            tbase += len(row.tf_bytes)
-            lbase += len(row.dl_bytes)
+        merged = _concat_run_rows(pdf)
         # stable bucket assignment: same function as the Spark-side bucketing
-        bucket = _py_bucket(term, n_buckets)
+        return pd.DataFrame(
+            [{"term": term, "bucket": _py_bucket(term, n_buckets), **merged}]
+        )
+
+    return fn
+
+
+_SEGMENT_COLS = [f.strip().split()[0] for f in SEGMENT_SCHEMA.split(",")]
+
+
+def _merge_runs_dim():
+    """Cogrouped merge for the term_id-keyed batch build: ``left`` carries a
+    term's encoded runs (term_id-keyed), ``right`` exactly one vocabulary-dim
+    row (term_id, term, bucket — bucket computed JVM-side by bucket_expr).
+    The dim rides the merge shuffle that happens anyway, so the term string
+    is never a per-posting shuffle/Arrow column and the segment blobs are
+    shuffled exactly once."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            # dim-only key cannot happen (dim derives from the same forward
+            # rows) — but return the right shape defensively
+            return pd.DataFrame([], columns=_SEGMENT_COLS)
+        # the driver-side collision guard makes >1 dim row impossible here
+        assert len(right) == 1, "term_id collision leaked past the guard"
+        merged = _concat_run_rows(left)
         return pd.DataFrame(
             [
                 {
-                    "term": term,
-                    "bucket": bucket,
-                    "df": int(pdf["df"].sum()),
-                    "cf": int(pdf["cf"].sum()),
-                    "doc_bytes": doc_bytes,
-                    "tf_bytes": tf_bytes,
-                    "dl_bytes": dl_bytes,
-                    "first_doc": first_doc,
-                    "last_doc": last_doc,
-                    "n": n,
-                    "doc_off": doc_off,
-                    "tf_off": tf_off,
-                    "dl_off": dl_off,
-                    "max_impact": maxi,
-                    "max_impact_all": float(max(maxi)),
+                    "term": right["term"].iloc[0],
+                    "bucket": int(right["bucket"].iloc[0]),
+                    **merged,
                 }
             ]
-        )
+        )[_SEGMENT_COLS]
 
     return fn
 
@@ -364,6 +415,10 @@ def _build_index_inner(
                 F.sum("tf").over(__import__("pyspark").sql.Window.partitionBy("url")),
             )
         )
+        # persist doc_id alongside: the encode scan then prunes the url
+        # string column entirely (8 fixed bytes on disk buy a string-free
+        # hot-path scan; computed JVM-side during this write pass)
+        fwd = fwd.withColumn("doc_id", F.xxhash64(F.col("url")))
         fwd.write.mode("overwrite").parquet(forward_path)
     forward = spark.read.parquet(forward_path)
 
@@ -397,24 +452,66 @@ def _build_index_inner(
         # historical forward ⋈ doc_map join here shuffled the entire
         # forward table on url for values derivable in place (measured: the
         # encode+merge stage ladder at 2→8 cores improves, and a full
-        # shuffle of the fact table disappears from the plan)
-        postings_in = (
-            forward.withColumn("doc_id", F.xxhash64(F.col("url")))
+        # shuffle of the fact table disappears from the plan).
+        # Newer forward checkpoints persist doc_id so this scan doesn't even
+        # read the url strings; older ones recompute it in place.
+        base = (
+            forward
+            if "doc_id" in forward.columns
+            else forward.withColumn("doc_id", F.xxhash64(F.col("url")))
+        ).withColumn("bucket", bucket_expr(F.col("term"), n_buckets)).where(
+            F.col("bucket").isin(todo)  # resume: only missing buckets
+        )
+        # Vocabulary dim for the term_id fast path: (term, bucket, term_id).
+        # Small relative to postings (one row per distinct in-scope term);
+        # reused by the guard aggregate and the merge cogroup.
+        dim = (
+            base.select("term")
+            .distinct()
             .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
-            .where(F.col("bucket").isin(todo))  # resume: only missing buckets
-            # bucket is NOT shuffled to the encode stage: _RUN_SCHEMA has no
-            # bucket column and _merge_runs recomputes it from the term —
-            # carrying it would add dead weight to the build's widest shuffle
-            .select("term", "doc_id", "tf", "doc_len")
+            .withColumn("term_id", F.xxhash64(F.col("term")))
+            .persist()
         )
-        runs = (
-            postings_in.withColumn("salt", range_salt(F.col("doc_id"), n_salts))
-            .groupBy("term", "salt")
-            .applyInPandas(_encode_run(avgdl), schema=_RUN_SCHEMA)
-        )
-        segments = runs.groupBy("term").applyInPandas(
-            _merge_runs(n_buckets), schema=SEGMENT_SCHEMA
-        )
+        guard = dim.agg(
+            F.count("*").alias("n"), F.count_distinct("term_id").alias("d")
+        ).collect()[0]
+        if int(guard["n"]) == int(guard["d"]):
+            # HOT PATH: every shuffled/Arrow column fixed-width — encode
+            # shuffle carries (term_id, doc_id, tf, doc_len, salt) only;
+            # bucket and the term string are NOT shuffled per posting (the
+            # merge cogroup re-attaches both from the dim).
+            postings_in = base.select(
+                F.xxhash64(F.col("term")).alias("term_id"),
+                "doc_id", "tf", "doc_len",
+            )
+            runs = (
+                postings_in.withColumn(
+                    "salt", range_salt(F.col("doc_id"), n_salts)
+                )
+                .groupBy("term_id", "salt")
+                .applyInPandas(
+                    _encode_run(avgdl, key="term_id"), schema=_RUN_SCHEMA_ID
+                )
+            )
+            segments = (
+                runs.groupBy("term_id")
+                .cogroup(dim.groupBy("term_id"))
+                .applyInPandas(_merge_runs_dim(), schema=SEGMENT_SCHEMA)
+            )
+        else:
+            # vocabulary xxhash64 collision (~v²/2⁶⁵ per build): string-keyed
+            # path — correct for any vocabulary, strictly slower shuffle
+            postings_in = base.select("term", "doc_id", "tf", "doc_len")
+            runs = (
+                postings_in.withColumn(
+                    "salt", range_salt(F.col("doc_id"), n_salts)
+                )
+                .groupBy("term", "salt")
+                .applyInPandas(_encode_run(avgdl), schema=_RUN_SCHEMA)
+            )
+            segments = runs.groupBy("term").applyInPandas(
+                _merge_runs(n_buckets), schema=SEGMENT_SCHEMA
+            )
         (
             segments.repartition("bucket")
             # sort by term within each bucket file: parquet row-group min/max
@@ -425,6 +522,7 @@ def _build_index_inner(
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, "segments"))
         )
+        dim.unpersist()
         _touch_success(os.path.join(index_dir, "segments"))
         # ---- per-bucket manifest commit (metrics from the written files) ---
         metrics = _bucket_metrics(
