@@ -3,7 +3,8 @@
     python tools/make_pyfiles.py wics.zip
     spark-submit --py-files wics.zip jobs/maintain_index_job.py \
         --index-dir /data/index \
-        [--delete-urls url1,url2 | --delete-urls-parquet /path/urls.parquet] \
+        [--delete-urls url1,url2 | --delete-urls-parquet /path/urls.parquet \
+         | --dedup-docs-parquet /path/pages.parquet] \
         [--compact] [--stats]
 
 Deletion is logical (Lucene-style tombstones; queries exclude immediately);
@@ -27,16 +28,21 @@ def main() -> None:
     ap.add_argument("--delete-urls-parquet",
                     help="parquet with a `url` column to tombstone (bulk "
                          "takedowns / dedup-driven drop lists)")
+    ap.add_argument("--dedup-docs-parquet",
+                    help="pages parquet (url, text): compute the near-dup "
+                         "drop list (MinHash→LSH→Jaccard→components, keep "
+                         "min-url canonical) and tombstone the rest; "
+                         "combine with --compact for the physical purge")
     ap.add_argument("--compact", action="store_true",
                     help="physical purge of tombstones + generational "
                          "compaction of doc_map/positions")
     ap.add_argument("--stats", action="store_true",
                     help="print stats.json + tombstone count and exit")
     args = ap.parse_args()
-    if not (args.delete_urls or args.delete_urls_parquet or args.compact
-            or args.stats):
-        ap.error("nothing to do: pass --delete-urls[-parquet], --compact, "
-                 "or --stats")
+    if not (args.delete_urls or args.delete_urls_parquet
+            or args.dedup_docs_parquet or args.compact or args.stats):
+        ap.error("nothing to do: pass --delete-urls[-parquet], "
+                 "--dedup-docs-parquet, --compact, or --stats")
 
     from pyspark.sql import SparkSession
 
@@ -63,6 +69,12 @@ def main() -> None:
     if args.delete_urls_parquet:
         urls_df = spark.read.parquet(args.delete_urls_parquet)
         out["deleted_bulk"] = delete_docs(spark, args.index_dir, urls_df)
+    if args.dedup_docs_parquet:
+        from words_in_context_spark.operators.dedup import near_dup_drop_list
+
+        docs = spark.read.parquet(args.dedup_docs_parquet)
+        drop = near_dup_drop_list(docs.select("url", "text"), id_col="url")
+        out["deleted_dedup"] = delete_docs(spark, args.index_dir, drop)
     if args.compact:
         out["compaction"] = compact_index(spark, args.index_dir)
     out["n_docs"] = mf.read_stats(args.index_dir)["n_docs"]

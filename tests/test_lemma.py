@@ -144,3 +144,65 @@ def test_by_language_seam_through_spark_tokenize():
     assert got["u-en"] == ["war", "go", "child"]
     assert got["u-de"] == ["sein", "gehen", "zeitung"]
     assert got["u-fr"] == ["war", "went", "allées"]
+
+
+@pytest.mark.parametrize(
+    "word,lemma",
+    [
+        ("es", "ser"), ("fueron", "ser"), ("estaban", "estar"),
+        ("van", "ir"), ("hay", "haber"), ("tienen", "tener"),
+        ("hicieron", "hacer"), ("dijo", "decir"), ("pudieron", "poder"),
+        ("canciones", "canción"), ("decisiones", "decisión"),
+        ("ciudades", "ciudad"), ("posibilidades", "posibilidad"),
+        ("actitudes", "actitud"),
+        ("casa", "casa"), ("perro", "perro"),  # untouched regulars
+    ],
+)
+def test_spanish_lemma(word, lemma):
+    from words_in_context_spark.lemma import spanish_lemma
+
+    assert spanish_lemma(word) == lemma
+
+
+def test_spanish_lemma_idempotent_and_registered():
+    from words_in_context_spark.lemma import (
+        IRREGULAR_ES,
+        get_lemmatizer,
+        spanish_lemma,
+    )
+
+    assert get_lemmatizer("spanish") is spanish_lemma
+    for w in list(IRREGULAR_ES) + ["canciones", "ciudades", "actitudes"]:
+        out = spanish_lemma(w)
+        assert spanish_lemma(out) == out  # lemmas are fixpoints
+
+
+def test_three_language_routing_through_spark_tokenize(spark):
+    """ByLanguage with en+de+es: each document routes to its own
+    lemmatizer; the unmapped language falls through to identity."""
+    from words_in_context_spark.operators.extract import tokenize
+
+    docs = spark.createDataFrame(
+        [
+            ("u-en", "1\n00:00:00,000 --> 00:00:01,000\nwent children\n",
+             "en"),
+            ("u-de", "1\n00:00:00,000 --> 00:00:01,000\nging zeitungen\n",
+             "de"),
+            ("u-es", "1\n00:00:00,000 --> 00:00:01,000\nfueron canciones\n",
+             "es"),
+            ("u-fr", "1\n00:00:00,000 --> 00:00:01,000\nfueron allées\n",
+             "fr"),
+        ],
+        "url string, text string, lang string",
+    )
+    rows = tokenize(
+        docs, lemmatizer={"en": "english", "de": "german", "es": "spanish"}
+    ).collect()
+    terms = {}
+    for r in rows:
+        terms.setdefault(r["url"], []).append((r["tok_idx"], r["term"]))
+    got = {u: [t for _, t in sorted(v)] for u, v in terms.items()}
+    assert got["u-en"] == ["go", "child"]
+    assert got["u-de"] == ["gehen", "zeitung"]
+    assert got["u-es"] == ["ser", "canción"]
+    assert got["u-fr"] == ["fueron", "allées"]

@@ -180,6 +180,30 @@ def test_lang_id_matches_reference_golden_map(spark):
     assert agree >= 12, f"only {agree}/13 agree: {pred}"
 
 
+def test_lang_id_cjk_script_votes(spark):
+    """The no-whitespace-script tail (reference langdetect covers ja/ko/th/
+    zh — extract_words.py:165-181): marker voting is blind to scripts the
+    letter-run tokenizer can't segment, so these vote by script-character
+    counts. Han + kana → ja (kanji counts as Japanese evidence when kana is
+    present); kana-free han → zh; hangul → ko; thai → th; Latin docs are
+    untouched."""
+    from words_in_context_spark.operators.textquality import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。"),
+            (2, "我们都是中国人，这是一个简单的测试句子，没有任何假名。"),
+            (3, "나는 한국 사람입니다. 오늘 날씨가 정말 좋아요."),
+            (4, "ฉันเป็นคนไทย วันนี้อากาศดีมาก ขอบคุณครับ"),
+            (5, "the cat sat on the mat and it was happy that you came"),
+            (6, "just numbers 12345 !!!"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert pred == {1: "ja", 2: "zh", 3: "ko", 4: "th", 5: "en", 6: "und"}
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(20)
     media = multimodal.wrap_binary(docs, "doc_id", "text", "video")
@@ -287,6 +311,72 @@ def test_connected_components_clusters_planted_dups(spark, docs_with_dups):
         assert comp[b] == comp[a] <= a
 
 
+def _brute_components(edges):
+    """Driver-side union-find ground truth for small graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_star_equals_propagation_random(spark):
+    """Property: large-star/small-star == min-label propagation == driver
+    union-find on random graphs (several densities/seeds)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 200)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        prop = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        assert star == prop == _brute_components(edges), f"seed {seed}"
+
+
+def test_connected_components_star_long_chain(spark):
+    """Adversarial diameter: a 64-node path needs >10 propagation rounds;
+    the star contraction must converge in O(log n) rounds (well under the
+    same max_iter) and still label every node with the chain head."""
+    edges = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(pairs, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """ADVICE r4: propagation must refuse to return partial labels when the
+    graph diameter exceeds max_iter rather than silently splitting the
+    component."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+
+
 def test_repetition_stats_known_doc(spark):
     """Hand-computable doc: 'aa aa aa bb cc aa' → top unigram 4/6; top
     bigram 'aa aa' count 3, chars 3*4=12 of 12 total; duplicated trigram
@@ -375,3 +465,63 @@ def test_sequence_packing_offsets_and_bins(spark):
     sh = {r["doc_id"]: r["shard"]
           for r in sequence_packing(docs, n_shards=2).collect()}
     assert sh == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_sequence_packing_shard_count_semantics(spark):
+    """VERDICT r4 #4: n_shards must scale with the input, and its effect on
+    the output is exactly the documented one — per-shard offsets. For ANY
+    n_shards: n_tokens is shard-invariant, and within every shard the
+    offsets are the running sum of n_tokens in id order (checked at
+    n_shards=64, more shards than docs)."""
+    import random
+
+    from words_in_context_spark.operators.preprocess import sequence_packing
+
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join("w%d" % rng.randrange(50)
+                      for _ in range(rng.randrange(1, 30))))
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+
+    def by_shard(n_shards):
+        rows = sequence_packing(docs, budget=16, n_shards=n_shards).collect()
+        shards = {}
+        for r in rows:
+            shards.setdefault(r["shard"], []).append(r)
+        return rows, shards
+
+    base_tokens = {
+        r["doc_id"]: r["n_tokens"]
+        for r in sequence_packing(docs, budget=16, n_shards=1).collect()
+    }
+    for n in (4, 64):
+        rows, shards = by_shard(n)
+        # n_tokens invariant to sharding; shard assignment is id % n
+        assert {r["doc_id"]: r["n_tokens"] for r in rows} == base_tokens
+        assert all(r["shard"] == r["doc_id"] % n for r in rows)
+        # per-shard running offsets + bin = start // budget
+        for members in shards.values():
+            members.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in members:
+                assert r["start_offset"] == off
+                assert r["bin"] == off // 16
+                off += r["n_tokens"]
+
+
+def test_sequence_packing_default_shards_derive_from_input(spark):
+    """The default n_shards derives from the input's parallelism instead of
+    a fixed 8 — a fixed default caps the packing sort at 8 tasks regardless
+    of cluster size (VERDICT r4 #4)."""
+    from words_in_context_spark.operators.preprocess import sequence_packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(200)], "doc_id long, text string"
+    ).repartition(16)
+    out = sequence_packing(docs)
+    n_shards = out.select("shard").distinct().count()
+    expected = max(16, spark.sparkContext.defaultParallelism)
+    # 200 ids mod expected cover every residue for expected ≤ 200
+    assert n_shards == min(expected, 200)

@@ -111,11 +111,16 @@ def _forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a directory's own stat is useless as a change signal (st_size is
             # the inode size; in-place rewrite of an existing part file keeps
             # name/count and may not touch directory mtime) — key on the
-            # sorted per-file listing instead
+            # sorted per-file listing instead, RECURSIVELY: a partitioned
+            # documents.parquet nests its part files in subdirectories, and a
+            # flat scandir would silently serve a stale cache after an
+            # in-place rewrite of a nested file
             sig = ";".join(
-                f"{e.name}:{e.stat().st_size}:{e.stat().st_mtime_ns}"
-                for e in sorted(os.scandir(src), key=lambda e: e.name)
-                if e.is_file()
+                f"{os.path.relpath(os.path.join(dp, fn), src)}"
+                f":{(st := os.stat(os.path.join(dp, fn))).st_size}"
+                f":{st.st_mtime_ns}"
+                for dp, dns, fns in sorted(os.walk(src))
+                for fn in sorted(fns)
             )
         else:
             st = os.stat(src)
@@ -151,19 +156,12 @@ _TF_SQL = f"""
 
 
 def q_doc_term_tf(spark, sf_dir):
-    """A1/A3: term frequency per (doc, term)."""
-    return _tf(spark, sf_dir)
-
-
-def q_doc_len(spark, sf_dir):
-    """A4: document length (token occurrences per doc) — served from the
-    forward index (doc_len was computed map-side at tokenize time; this is a
-    re-agg of the term-doc table, not a corpus scan)."""
-    return (
-        _forward(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.first("doc_len").alias("doc_len"))
-    )
+    """A1/A3/A4: term frequency per (doc, term) WITH the document length —
+    one battery entry covering the former separate doc_len query (battery
+    kept ≤ the driver's 50-entry check budget, see COVERAGE.md): doc_len is
+    the map-side per-doc value from the forward index, verified here on
+    every row rather than once per doc."""
+    return _forward(spark, sf_dir).select("doc_id", "term", "tf", "doc_len")
 
 
 def q_term_df(spark, sf_dir):
@@ -413,7 +411,6 @@ def q_lang_distribution(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_term_tf": q_doc_term_tf,
-    "doc_len": q_doc_len,
     "term_df": q_term_df,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
@@ -429,11 +426,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
-    "doc_term_tf": _TF_SQL,
-    "doc_len": f"""
-        WITH toks AS ({_TOKS_SQL})
-        SELECT doc_id, count(*) AS doc_len FROM toks WHERE term <> ''
-        GROUP BY doc_id
+    "doc_term_tf": f"""
+        WITH tf AS ({_TF_SQL})
+        -- CAST: DuckDB integer sum() yields HUGEINT; doc_len is an OUTPUT
+        -- column and the driver's hasher is type-sensitive (Spark: BIGINT)
+        SELECT doc_id, term, tf,
+               CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+        FROM tf
     """,
     "term_df": f"""
         WITH tf AS ({_TF_SQL})
@@ -572,26 +571,30 @@ ORACLE_SQL: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 
-def q_cube_orders(spark, sf_dir):
-    """CUBE over two dims (grouping-set aggregates; NULL marks totals)."""
-    o = _read(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-
-
-def q_rollup_order_months(spark, sf_dir):
-    """ROLLUP over (year, month) of o_orderdate."""
-    o = _read(spark, sf_dir, "orders")
-    return (
-        o.withColumn("yr", F.year("o_orderdate"))
+def q_grouping_sets_orders(spark, sf_dir):
+    """Grouping-set aggregates (NULL marks totals): the CUBE over
+    (status, priority) and the ROLLUP over (yr, mo) — formerly two battery
+    entries — as ONE explicit GROUPING SETS aggregate in a single shuffle
+    (the shared grand-total set appears once). Consolidated to keep the
+    battery ≤ the driver's 50-entry check budget (COVERAGE.md)."""
+    o = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("yr", F.year("o_orderdate"))
         .withColumn("mo", F.month("o_orderdate"))
-        .rollup("yr", "mo")
-        .agg(F.count("*").alias("n"))
+    )
+    return o.groupingSets(
+        [
+            ["o_orderstatus", "o_orderpriority"],
+            ["o_orderstatus"],
+            ["o_orderpriority"],
+            [],
+            ["yr", "mo"],
+            ["yr"],
+        ],
+        "o_orderstatus", "o_orderpriority", "yr", "mo",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -966,8 +969,7 @@ QUERIES.update(
         "order_percentiles": q_order_percentiles,
         "segment_intersect": q_segment_intersect,
         "customer_running_revenue": q_customer_running_revenue,
-        "cube_orders": q_cube_orders,
-        "rollup_order_months": q_rollup_order_months,
+        "grouping_sets_orders": q_grouping_sets_orders,
         "pivot_status_priority": q_pivot_status_priority,
         "segment_set_ops": q_segment_set_ops,
         "term_positions": q_term_positions,
@@ -1140,15 +1142,14 @@ ORACLE_SQL.update(
             WHERE o_custkey IN (
               SELECT c_custkey FROM customer WHERE c_nationkey = 7)
         """,
-        "cube_orders": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
-            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        """,
-        "rollup_order_months": """
-            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-                   count(*) AS n
-            FROM orders GROUP BY ROLLUP (yr, mo)
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS (
+              (o_orderstatus, o_orderpriority), (o_orderstatus),
+              (o_orderpriority), (), (yr, mo), (yr))
         """,
         "pivot_status_priority": """
             SELECT o_orderstatus,

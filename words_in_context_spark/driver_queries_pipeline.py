@@ -192,21 +192,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-def q_ann_ivf_full_topk(spark, sf_dir):
-    """IVF with n_probes == n_centroids (full probe): every query scans every
-    cell, so the result is by construction identical to brute-force kNN —
-    which gives the iterative-training path an EXACT SQL oracle (the
-    brute-force cosine SQL). The 4-probe variant above stays as the labeled
-    approximate scale path; full-probe==brute equality is also pinned in
-    tests/test_pipeline_ops.py."""
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return similarity.ann_knn_ivf(
-        emb.where(F.col("vec_id") >= 5), queries, k=10,
-        n_centroids=8, n_probes=8,
-    )
+# (The former ann_ivf_full_topk battery entry — IVF with n_probes ==
+# n_centroids, identical to brute-force by construction — moved to pytest
+# only: tests/test_pipeline_ops.py::test_ivf_ann_recall_and_exactness pins
+# full-probe == brute force, and ann_ivf_topk above retains the exact
+# replayed-k-means oracle. Dropped from the battery to stay within the
+# driver's 50-entry check budget; see COVERAGE.md.)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -304,10 +295,13 @@ def q_split_assign(spark, sf_dir):
 def q_sequence_packing(spark, sf_dir):
     """Sequence packing: concat-and-cut documents into 512-token context
     windows within 8 shards (per-shard running offsets — the global-order
-    window this would otherwise need is exactly what does not scale)."""
+    window this would otherwise need is exactly what does not scale).
+    n_shards pinned: the oracle replays the same 8-shard layout."""
     from .operators import preprocess
 
-    return preprocess.sequence_packing(_read(spark, sf_dir, "documents"))
+    return preprocess.sequence_packing(
+        _read(spark, sf_dir, "documents"), n_shards=8
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -400,7 +394,6 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_full_topk": q_ann_ivf_full_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -411,6 +404,12 @@ QUERIES = {
 }
 
 _MARKERS_EN = "'the','and','of','to','is','you','that','it'"
+
+# script-vote character classes shared verbatim with the Spark operator
+from .operators.textquality import _HAN as _sq_han  # noqa: E402
+from .operators.textquality import _HANGUL as _sq_hangul  # noqa: E402
+from .operators.textquality import _KANA as _sq_kana  # noqa: E402
+from .operators.textquality import _THAI as _sq_thai  # noqa: E402
 
 
 def _markers_cte() -> str:
@@ -619,10 +618,34 @@ ORACLE_SQL = {
         markers AS (
           {_markers_cte()}
         ),
-        votes AS (
+        mvotes AS (
           SELECT t.doc_id, m.lang, count(*) AS votes
           FROM toks t JOIN markers m ON t.term = m.term
           GROUP BY 1, 2
+        ),
+        -- script-character votes for the no-whitespace scripts (ja/zh/ko/
+        -- th): the same \\x{{...}} character classes the Spark operator
+        -- uses (textquality._KANA etc.), valid in both Java regex and RE2
+        script_counts AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '{_sq_kana}')) AS BIGINT) AS kana,
+            CAST(len(regexp_extract_all(text, '{_sq_han}')) AS BIGINT) AS han,
+            CAST(len(regexp_extract_all(text, '{_sq_hangul}')) AS BIGINT) AS hangul,
+            CAST(len(regexp_extract_all(text, '{_sq_thai}')) AS BIGINT) AS thai
+          FROM documents
+        ),
+        votes AS (
+          SELECT * FROM mvotes
+          UNION ALL
+          SELECT doc_id, 'ja' AS lang, kana + han AS votes
+          FROM script_counts WHERE kana > 0
+          UNION ALL
+          SELECT doc_id, 'zh', han FROM script_counts
+          WHERE kana = 0 AND han > 0
+          UNION ALL
+          SELECT doc_id, 'ko', hangul FROM script_counts WHERE hangul > 0
+          UNION ALL
+          SELECT doc_id, 'th', thai FROM script_counts WHERE thai > 0
         ),
         best AS (
           SELECT doc_id, lang, votes, row_number() OVER (
@@ -1004,4 +1027,3 @@ def _ivf_oracle_sql(
 ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle_sql()
 # Full-probe IVF visits every cell, so it equals brute-force kNN exactly —
 # the brute-force SQL IS its oracle (no need to replicate k-means training).
-ORACLE_SQL["ann_ivf_full_topk"] = ORACLE_SQL["ann_cosine_topk"]

@@ -6,14 +6,21 @@ Pipeline (generalizes /root/reference/extract_words.py:332-387 ``process_dir``):
 
   docs(url, text, lang)
     │ mapInPandas extract+tokenize+per-doc tf (narrow, NO token shuffle —
-    │ the UDTF's output is already the forward index)
-  forward(url, term, tf, doc_len)          → parquet checkpoint (+ doc_map)
-    │ groupBy(term, range_salt(doc_id)) — SHUFFLE 1, applyInPandas
-  runs(term, salt, encoded run)           ← head-term skew bounded by salt
-    │ groupBy(term) — SHUFFLE 2 of COMPRESSED bytes, applyInPandas
+    │ the UDTF's output is already the forward index); n_docs/avgdl
+    │ observed during the doc_map write (no separate stats job)
+  forward(url, doc_id, term, tf, doc_len)  → parquet checkpoint (+ doc_map)
+    │ groupBy(term_id=xxhash64(term), range_salt(doc_id)) collect_list —
+    │ SHUFFLE 1: fixed-width numerics only (no term strings), pre-grouped
+    │ arrays into a mapInPandas encoder (one Arrow row per encode unit)
+  runs(term_id, salt, encoded run)        ← head-term skew bounded by salt
+    │ cogroup(term_id) with the vocabulary dim (term, bucket, term_id) —
+    │ SHUFFLE 2 of COMPRESSED bytes; the dim rides the same shuffle and
+    │ re-attaches the term string; a term_id collision (~v²/2⁶⁵) fails the
+    │ job with a marker error and the driver re-runs string-keyed
   segments(term, bucket, df, cf, doc_bytes, tf_bytes, blocks...)
     │ write partitionBy(bucket), dynamic partition overwrite
-  manifest: one JSON commit per bucket (index/manifest.py)
+  manifest: one JSON commit per bucket (index/manifest.py; metrics from
+  parquet footers driver-side — no Spark job)
 
 Skew design (north_rule "explicit salting for head terms"): the salt is a
 doc_id RANGE (top bits of the uniform xxhash64 doc id), not a hash — so the
@@ -112,45 +119,87 @@ def range_salt(doc_id_col, n_salts: int):
     ).cast("int")
 
 
+def _encode_unsorted(ids, tfs, dls, avgdl: float) -> EncodedPostings:
+    """Sort by doc_id and encode; xxhash64(url) birthday collisions are
+    aggregated per doc_id (sum tf, max doc_len) — encode_postings requires
+    strictly increasing ids and would otherwise assert out the task."""
+    order = np.argsort(ids, kind="mergesort")
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
+    if ids.size > 1 and (ids[1:] == ids[:-1]).any():
+        uniq, inv = np.unique(ids, return_inverse=True)
+        tf_agg = np.zeros(uniq.size, dtype=tfs.dtype)
+        np.add.at(tf_agg, inv, tfs)
+        dl_agg = np.zeros(uniq.size, dtype=dls.dtype)
+        np.maximum.at(dl_agg, inv, dls)
+        ids, tfs, dls = uniq, tf_agg, dl_agg
+    return encode_postings(ids, tfs, dls, avgdl)
+
+
+def _enc_to_run_row(key: str, term, salt: int, enc: EncodedPostings) -> dict:
+    return {
+        key: term,
+        "salt": salt,
+        "df": enc.df,
+        "cf": enc.cf,
+        "doc_bytes": enc.doc_bytes,
+        "tf_bytes": enc.tf_bytes,
+        "dl_bytes": enc.dl_bytes,
+        "first_doc": enc.first_doc.tolist(),
+        "last_doc": enc.last_doc.tolist(),
+        "n": enc.n.tolist(),
+        "doc_off": enc.doc_off.tolist(),
+        "tf_off": enc.tf_off.tolist(),
+        "dl_off": enc.dl_off.tolist(),
+        "max_impact": enc.max_impact.tolist(),
+    }
+
+
 def _encode_run(avgdl: float, key: str = "term"):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf[key].iloc[0]
         salt = int(pdf["salt"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="mergesort")
-        ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["doc_len"].to_numpy()[order]
-        if ids.size > 1 and (ids[1:] == ids[:-1]).any():
-            # xxhash64(url) birthday collisions: aggregate per doc_id
-            # (sum tf, max doc_len) — encode_postings requires strictly
-            # increasing ids and would otherwise assert out the task
-            uniq, inv = np.unique(ids, return_inverse=True)
-            tf_agg = np.zeros(uniq.size, dtype=tfs.dtype)
-            np.add.at(tf_agg, inv, tfs)
-            dl_agg = np.zeros(uniq.size, dtype=dls.dtype)
-            np.maximum.at(dl_agg, inv, dls)
-            ids, tfs, dls = uniq, tf_agg, dl_agg
-        enc = encode_postings(ids, tfs, dls, avgdl)
-        return pd.DataFrame(
-            [
-                {
-                    key: term,
-                    "salt": salt,
-                    "df": enc.df,
-                    "cf": enc.cf,
-                    "doc_bytes": enc.doc_bytes,
-                    "tf_bytes": enc.tf_bytes,
-                    "dl_bytes": enc.dl_bytes,
-                    "first_doc": enc.first_doc.tolist(),
-                    "last_doc": enc.last_doc.tolist(),
-                    "n": enc.n.tolist(),
-                    "doc_off": enc.doc_off.tolist(),
-                    "tf_off": enc.tf_off.tolist(),
-                    "dl_off": enc.dl_off.tolist(),
-                    "max_impact": enc.max_impact.tolist(),
-                }
-            ]
+        enc = _encode_unsorted(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            avgdl,
         )
+        return pd.DataFrame([_enc_to_run_row(key, term, salt, enc)])
+
+    return fn
+
+
+_RUN_COLS_ID = [f.strip().split()[0] for f in _RUN_SCHEMA_ID.split(",")]
+
+
+def _encode_rows(avgdl: float):
+    """mapInPandas encoder over PRE-GROUPED rows — one input row per
+    (term_id, salt) carrying aligned doc_ids/tfs/dls arrays packed by a
+    JVM-side collect_list aggregation. Compared with groupBy.applyInPandas
+    over raw posting rows, the Arrow surface transfers one row per encode
+    unit instead of one per posting, and the per-partition sort-by-group-key
+    that FlatMapGroupsInPandas requires disappears (the hash aggregate
+    already grouped). Head-term skew stays bounded: the aggregation buffers
+    exactly the per-(term, salt) range the salt design caps, and Spark's
+    ObjectHashAggregate falls back to sort-based aggregation with spill
+    under memory pressure."""
+
+    def fn(it):
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                enc = _encode_unsorted(
+                    np.asarray(row.doc_ids, dtype=np.int64),
+                    np.asarray(row.tfs, dtype=np.int64),
+                    np.asarray(row.dls, dtype=np.int64),
+                    avgdl,
+                )
+                out.append(
+                    _enc_to_run_row(
+                        "term_id", int(row.term_id), int(row.salt), enc
+                    )
+                )
+            yield pd.DataFrame(out, columns=_RUN_COLS_ID)
 
     return fn
 
@@ -221,8 +270,17 @@ def _merge_runs_dim():
             # dim-only key cannot happen (dim derives from the same forward
             # rows) — but return the right shape defensively
             return pd.DataFrame([], columns=_SEGMENT_COLS)
-        # the driver-side collision guard makes >1 dim row impossible here
-        assert len(right) == 1, "term_id collision leaked past the guard"
+        if len(right) != 1:
+            # two distinct terms hashed to one term_id (~v²/2⁶⁴ per build):
+            # their postings were merged at encode, unrecoverable in-job —
+            # fail the job; the driver catches this marker and re-runs the
+            # segments build on the always-correct string-keyed path. A
+            # task-level detector beats a driver-side pre-check: the
+            # pre-check cost a whole extra pass over forward on every build
+            # to guard against a once-per-many-petabytes event.
+            raise ValueError(
+                f"term_id collision: {sorted(right['term'].tolist())!r}"
+            )
         merged = _concat_run_rows(left)
         return pd.DataFrame(
             [
@@ -360,9 +418,14 @@ def build_index(
     # a small-file corpus into 1-4 read partitions (measured: a 10k-doc
     # corpus tokenized on ~2 tasks of a 32-slot session — the stage ran near
     # serial). When the scan can't feed every slot, widen it explicitly; at
-    # web scale input splits outnumber slots and this no-ops.
+    # web scale input splits outnumber slots and this no-ops. Checked only
+    # when tokenize will actually run — a resume from an existing forward
+    # checkpoint must not touch (or even plan over) the docs input.
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if (
+        not _exists(os.path.join(index_dir, "forward"))
+        and docs.rdd.getNumPartitions() < par
+    ):
         docs = docs.repartition(2 * par)
     try:
         return _build_index_inner(
@@ -423,19 +486,34 @@ def _build_index_inner(
     forward = spark.read.parquet(forward_path)
 
     # ---- doc stats (A4/A7): built once, reused on resume -------------------
+    n_docs = avgdl = None
     if not _exists(doc_map_path):
+        from pyspark.sql import Observation
+
+        # N and avgdl observed DURING the write — a separate count+avg job
+        # over doc_map is pure fixed overhead the build's scaling pays at
+        # every parallelism level
+        obs = Observation()
         doc_map = (
             forward.groupBy("url")
             .agg(F.max("doc_len").alias("doc_len"))
             .withColumn("doc_id", F.xxhash64(F.col("url")))
             .select("doc_id", "url", "doc_len")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+            )
         )
         doc_map.write.mode("overwrite").parquet(doc_map_path)
+        got = obs.get
+        n_docs, avgdl = got["n_docs"], got["avgdl"]
 
     doc_map = spark.read.parquet(doc_map_path)
-    n_docs, avgdl = doc_map.agg(
-        F.count("*"), F.avg("doc_len")
-    ).collect()[0]
+    if n_docs is None:
+        n_docs, avgdl = doc_map.agg(
+            F.count("*"), F.avg("doc_len")
+        ).collect()[0]
     avgdl = float(avgdl)
     if avgdl_override is not None:
         # rebuild with PINNED global stats — the frozen-avgdl maintenance
@@ -462,45 +540,72 @@ def _build_index_inner(
         ).withColumn("bucket", bucket_expr(F.col("term"), n_buckets)).where(
             F.col("bucket").isin(todo)  # resume: only missing buckets
         )
-        # Vocabulary dim for the term_id fast path: (term, bucket, term_id).
-        # Small relative to postings (one row per distinct in-scope term);
-        # reused by the guard aggregate and the merge cogroup.
-        dim = (
-            base.select("term")
-            .distinct()
-            .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
-            .withColumn("term_id", F.xxhash64(F.col("term")))
-            .persist()
-        )
-        guard = dim.agg(
-            F.count("*").alias("n"), F.count_distinct("term_id").alias("d")
-        ).collect()[0]
-        if int(guard["n"]) == int(guard["d"]):
+        def _write_segments(segments: DataFrame) -> None:
+            (
+                segments.repartition("bucket")
+                # sort by term within each bucket file: parquet row-group
+                # min/max statistics then prune term lookups inside a
+                # bucket, not just across buckets (query path pushes term
+                # equality to the scan)
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(index_dir, "segments"))
+            )
+
+        def _encode_merge_by_term_id() -> DataFrame:
             # HOT PATH: every shuffled/Arrow column fixed-width — encode
             # shuffle carries (term_id, doc_id, tf, doc_len, salt) only;
-            # bucket and the term string are NOT shuffled per posting (the
-            # merge cogroup re-attaches both from the dim).
+            # bucket and the term string are NOT shuffled per posting. The
+            # vocabulary dim (term, bucket, term_id — one row per distinct
+            # in-scope term) rides the merge cogroup's existing shuffle and
+            # is computed INSIDE this same job, so its scan pipelines with
+            # the encode map instead of costing a separate driver-blocking
+            # guard job per build.
+            dim = (
+                base.select("term")
+                .distinct()
+                .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
+                .withColumn("term_id", F.xxhash64(F.col("term")))
+            )
             postings_in = base.select(
                 F.xxhash64(F.col("term")).alias("term_id"),
                 "doc_id", "tf", "doc_len",
             )
-            runs = (
+            grouped = (
                 postings_in.withColumn(
                     "salt", range_salt(F.col("doc_id"), n_salts)
                 )
                 .groupBy("term_id", "salt")
-                .applyInPandas(
-                    _encode_run(avgdl, key="term_id"), schema=_RUN_SCHEMA_ID
+                # one struct list per group, split back into aligned plain
+                # arrays JVM-side (a single aggregate guarantees alignment;
+                # three parallel collect_lists would not contractually)
+                .agg(
+                    F.collect_list(
+                        F.struct("doc_id", "tf", "doc_len")
+                    ).alias("ps")
+                )
+                .select(
+                    "term_id",
+                    "salt",
+                    F.col("ps.doc_id").alias("doc_ids"),
+                    F.col("ps.tf").alias("tfs"),
+                    F.col("ps.doc_len").alias("dls"),
                 )
             )
-            segments = (
+            runs = grouped.mapInPandas(
+                _encode_rows(avgdl), schema=_RUN_SCHEMA_ID
+            )
+            return (
                 runs.groupBy("term_id")
                 .cogroup(dim.groupBy("term_id"))
                 .applyInPandas(_merge_runs_dim(), schema=SEGMENT_SCHEMA)
             )
-        else:
-            # vocabulary xxhash64 collision (~v²/2⁶⁵ per build): string-keyed
-            # path — correct for any vocabulary, strictly slower shuffle
+
+        def _encode_merge_by_term() -> DataFrame:
+            # collision fallback (~v²/2⁶⁵ odds per build, detected by the
+            # merge task's marker error): string-keyed shuffles — correct
+            # for any vocabulary, strictly slower per-posting string column
             postings_in = base.select("term", "doc_id", "tf", "doc_len")
             runs = (
                 postings_in.withColumn(
@@ -509,20 +614,16 @@ def _build_index_inner(
                 .groupBy("term", "salt")
                 .applyInPandas(_encode_run(avgdl), schema=_RUN_SCHEMA)
             )
-            segments = runs.groupBy("term").applyInPandas(
+            return runs.groupBy("term").applyInPandas(
                 _merge_runs(n_buckets), schema=SEGMENT_SCHEMA
             )
-        (
-            segments.repartition("bucket")
-            # sort by term within each bucket file: parquet row-group min/max
-            # statistics then prune term lookups inside a bucket, not just
-            # across buckets (query path pushes term equality to the scan)
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(index_dir, "segments"))
-        )
-        dim.unpersist()
+
+        try:
+            _write_segments(_encode_merge_by_term_id())
+        except Exception as e:  # noqa: BLE001 — marker-matched, else re-raised
+            if "term_id collision" not in str(e):
+                raise
+            _write_segments(_encode_merge_by_term())
         _touch_success(os.path.join(index_dir, "segments"))
         # ---- per-bucket manifest commit (metrics from the written files) ---
         metrics = _bucket_metrics(
@@ -706,35 +807,42 @@ def _bucket_metrics(
     spark: SparkSession, seg_path: str, buckets: list[int]
 ) -> dict[int, dict]:
     """Manifest metrics for the given bucket partitions of the WRITTEN
-    segment store. The verify read prunes to (bucket, df) — it must never
-    re-read the posting byte columns, which are the store's entire payload
-    (measured: the old length(doc_bytes)+length(tf_bytes) aggregate made the
-    metrics job re-scan the whole index after every build/merge). ``bytes``
-    is the actual on-disk size of each committed bucket partition — the
-    honest ops metric — taken from the filesystem, no Spark job."""
-    rows = (
-        # explicit schema: a segments dir whose every bucket vanished (all
-        # docs tombstoned + compacted) has no files to infer from
-        spark.read.schema(SEGMENT_SCHEMA).parquet(seg_path)
-        .where(F.col("bucket").isin(buckets))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-        )
-        .collect()
-    )
+    segment store. Computed entirely DRIVER-SIDE from parquet metadata and
+    the tiny ``df`` column (pyarrow): n_terms comes from row-group counts
+    (no data read), n_postings from the df column only — never the posting
+    byte columns, which are the store's entire payload. This used to be a
+    Spark job; per-build fixed job overhead is exactly what the scaling
+    gate's low-parallelism level cannot amortize. ``bytes`` is the actual
+    on-disk size of each committed bucket partition — the honest ops
+    metric. (On an object-store deployment this seam swaps for a
+    metadata-table query — Iceberg keeps these stats in manifests.)"""
+    import pyarrow.dataset as pads
+
     out: dict[int, dict] = {}
-    for r in rows:
-        b = int(r["bucket"])
+    for b in buckets:
         bucket_dir = os.path.join(seg_path, f"bucket={b}")
-        disk = 0
-        if os.path.isdir(bucket_dir):
-            for f in os.listdir(bucket_dir):
-                disk += os.path.getsize(os.path.join(bucket_dir, f))
+        if not os.path.isdir(bucket_dir):
+            continue
+        files = [
+            os.path.join(bucket_dir, f)
+            for f in os.listdir(bucket_dir)
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        dset = pads.dataset(files, format="parquet")
+        tbl = dset.to_table(columns=["df"])
+        if tbl.num_rows == 0:
+            continue
+        disk = sum(
+            os.path.getsize(os.path.join(bucket_dir, f))
+            for f in os.listdir(bucket_dir)
+        )
         out[b] = {
-            "n_terms": int(r["n_terms"]),
-            "n_postings": int(r["n_postings"]),
+            "n_terms": int(tbl.num_rows),
+            "n_postings": int(
+                sum(c.sum().as_py() or 0 for c in tbl.column("df").chunks)
+            ),
             "bytes": int(disk),
         }
     return out
@@ -849,8 +957,11 @@ def compact_index(
             # stats.json carried the positions_schema key loads as v0 — stamp
             # v2 when every row in fact carries tok_ids, so index-backed
             # phrase search keeps working after compaction of such indexes
+            # explicit schema: the rewritten store may be FILE-LESS (purge
+            # dropped every positions row) and schema inference would raise;
+            # an empty store trivially satisfies the all-rows-stamped check
             if "tok_ids" in pos_df.columns and (
-                spark.read.parquet(pos_dst)
+                spark.read.schema(POSITIONS_READ_SCHEMA).parquet(pos_dst)
                 .where(F.col("tok_ids").isNull())
                 .limit(1)
                 .count()

@@ -455,9 +455,11 @@ def phrase_matches_index(
         if "tok_ids" in probe.columns and (
             probe.where(F.col("tok_ids").isNull()).limit(1).count() == 0
         ):
-            stats = mf.read_stats(h.index_dir)
-            stats["positions_schema"] = POSITIONS_SCHEMA_VERSION
-            mf.write_stats(h.index_dir, stats)
+            # stamp the IN-MEMORY handle only: a query path must not
+            # read-modify-write stats.json (a concurrent merge/compaction
+            # updating stats between our read and write would be clobbered
+            # by the stale copy). The durable stamp belongs to maintenance
+            # ops — compact_index writes it under the atomic replace.
             h.positions_schema = POSITIONS_SCHEMA_VERSION
         else:
             raise ValueError(

@@ -296,10 +296,75 @@ def german_lemma(word: str) -> str:
     return word
 
 
+# Spanish (third language behind the ByLanguage seam): irregular table for
+# the highest-frequency verbs + only unambiguous derivational-plural rules —
+# same conservative design as german_lemma.
+IRREGULAR_ES = {
+    # ser
+    "soy": "ser", "eres": "ser", "es": "ser", "somos": "ser", "son": "ser",
+    "era": "ser", "eran": "ser", "fue": "ser", "fueron": "ser",
+    "sido": "ser",
+    # estar
+    "estoy": "estar", "está": "estar", "estás": "estar", "estamos": "estar",
+    "están": "estar", "estaba": "estar", "estaban": "estar",
+    "estado": "estar",
+    # ir
+    "voy": "ir", "vas": "ir", "va": "ir", "vamos": "ir", "van": "ir",
+    "iba": "ir", "iban": "ir", "ido": "ir",
+    # haber
+    "he": "haber", "has": "haber", "ha": "haber", "hay": "haber",
+    "hemos": "haber", "han": "haber", "había": "haber", "habían": "haber",
+    "hubo": "haber", "habido": "haber",
+    # tener
+    "tengo": "tener", "tienes": "tener", "tiene": "tener",
+    "tenemos": "tener", "tienen": "tener", "tenía": "tener",
+    "tenían": "tener", "tuvo": "tener", "tuvieron": "tener",
+    "tenido": "tener",
+    # hacer
+    "hago": "hacer", "hace": "hacer", "hacen": "hacer", "hacía": "hacer",
+    "hizo": "hacer", "hicieron": "hacer", "hecho": "hacer",
+    # decir
+    "digo": "decir", "dice": "decir", "dicen": "decir", "dijo": "decir",
+    "dijeron": "decir", "dicho": "decir",
+    # poder
+    "puedo": "poder", "puede": "poder", "pueden": "poder",
+    "podía": "poder", "pudo": "poder", "pudieron": "poder",
+    "podido": "poder",
+    # querer / saber / ver / dar
+    "quiero": "querer", "quiere": "querer", "quieren": "querer",
+    "quería": "querer", "quiso": "querer",
+    "sé": "saber", "sabe": "saber", "saben": "saber", "sabía": "saber",
+    "supo": "saber",
+    "veo": "ver", "ve": "ver", "ven": "ver", "veía": "ver", "vio": "ver",
+    "visto": "ver",
+    "doy": "dar", "da": "dar", "dan": "dar", "daba": "dar", "dio": "dar",
+    "dado": "dar",
+}
+
+_ES_SAFE_PLURALS = (
+    ("ciones", "ción"),   # canciones → canción
+    ("siones", "sión"),   # decisiones → decisión
+    ("dades", "dad"),     # ciudades → ciudad, posibilidades → posibilidad
+    ("tudes", "tud"),     # actitudes → actitud
+)
+
+
+def spanish_lemma(word: str) -> str:
+    """Deterministic Spanish lemma of a lowercase alpha word — irregular
+    table plus only unambiguous derivational-plural rules."""
+    if word in IRREGULAR_ES:
+        return IRREGULAR_ES[word]
+    for suf, rep in _ES_SAFE_PLURALS:
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            return word[: -len(suf)] + rep
+    return word
+
+
 _REGISTRY: dict[str, Lemmatizer | None] = {
     "identity": None,
     "english": english_lemma,
     "german": german_lemma,
+    "spanish": spanish_lemma,
 }
 
 

@@ -221,11 +221,14 @@ def connected_components(
     fixpoint). Rounds needed = graph diameter, which for near-dup clusters
     is small (similarity is near-transitive, so components are dense); the
     localCheckpoint per round truncates the growing lineage. For adversarial
-    long-chain graphs at 10^12 scale, swap the body for the large-star/
-    small-star contraction (Kiveris et al., CC in MapReduce) — same loop
-    shape, O(log n) rounds; the propagation form is kept here because it is
-    exactly SQL-expressible (the DuckDB oracle replays it as a recursive
+    long-chain graphs at 10^12 scale use ``connected_components_star`` below
+    (O(log n) rounds regardless of diameter; property-tested equal). The
+    propagation form is kept as the default because it is exactly
+    SQL-expressible (the DuckDB oracle replays it as a recursive
     transitive-closure CTE) and its per-round cost is one shuffle on node.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence —
+    returning partial (unconverged) labels would silently split components.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -269,5 +272,131 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star (O(log n) rounds)"
+        )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (Kiveris et al. 2014,
+    'Connected Components in MapReduce and Beyond', alg. 2)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    )
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller neighbors (and
+    itself) to the minimum of that set (Kiveris et al. 2014, alg. 3)."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    joined = e.join(mins, "u")
+    return (
+        joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(joined.select("u", "m").toDF("u", "v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star contraction
+    (Kiveris et al. 2014): converges in O(log n) rounds on ANY graph shape —
+    the scale path for adversarial long-diameter pair graphs where min-label
+    propagation needs diameter rounds. Same contract as
+    ``connected_components`` (component = min node id; property-tested equal
+    on random graphs and long chains, tests/test_pipeline_ops.py); each
+    round is two shuffles (neighborhood min-agg + emit), lineage truncated
+    per round with localCheckpoint. At convergence the edge set is a star
+    forest (node → component min); nodes that appear only in self-pairs
+    label themselves."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = edges.where(F.col("u") != F.col("v"))
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        if n_new == n_edges and (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — unexpected for O(log n) contraction; check the pair "
+            "graph for pathological size or raise max_iter"
+        )
+    return nodes.join(
+        edges, nodes["node"] == edges["u"], "left"
+    ).select(
+        "node", F.coalesce(F.col("v"), F.col("node")).alias("component")
+    )
+
+
+def near_dup_drop_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    components_fn=connected_components,
+) -> DataFrame:
+    """The full near-dup pruning chain as one operator: shingles → MinHash
+    signatures → banded LSH candidates → exact-Jaccard verify → connected
+    components → every NON-CANONICAL member (node != component min) as a
+    one-column drop list. This is the ``keep the component min, drop the
+    rest`` policy a dedup-driven index prune needs — feed the result to
+    ``index.build.delete_docs`` (id_col='url') and compact (the ST4
+    takedown flow; end-to-end equality with a batch build over the keep-set
+    is pinned in tests/test_streaming.py). Ids need only be orderable:
+    string urls pick the lexicographically smallest member as canonical.
+    ``components_fn``: connected_components (default, diameter-bounded) or
+    connected_components_star (O(log n) rounds)."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col)
+    sig = minhash_signatures(sh, id_col=id_col)
+    cand = lsh_candidate_pairs(sig, id_col=id_col)
+    pairs = jaccard_pairs(
+        sh, id_col=id_col, threshold=threshold, candidates=cand
+    )
+    comp = components_fn(pairs)
+    return comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )

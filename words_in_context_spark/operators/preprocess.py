@@ -71,7 +71,7 @@ def split_assign(
 def sequence_packing(
     docs: DataFrame,
     budget: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -85,7 +85,16 @@ def sequence_packing(
     bounds every window partition — the global-order single-partition
     window this would otherwise need is exactly what does NOT scale; real
     pipelines pack per shard/file, and n_shards maps to the cluster's
-    write parallelism."""
+    write parallelism. The default therefore DERIVES from the input
+    (max(input partitions, defaultParallelism) — a fixed small default
+    would cap the packing sort at that many tasks regardless of cluster
+    size); pass n_shards explicitly for a pinned, run-portable layout
+    (the driver-battery entry pins 8). Offsets/bins are only comparable
+    between runs that used the same n_shards — a doc's shard, and hence
+    its neighbors in the concat order, change with the shard count."""
+    if n_shards is None:
+        sc = docs.sparkSession.sparkContext
+        n_shards = max(docs.rdd.getNumPartitions(), sc.defaultParallelism)
     toks = F.size(
         F.filter(
             F.split(F.lower(F.col(text_col)), r"[^\p{L}]+"),

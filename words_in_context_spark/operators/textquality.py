@@ -92,8 +92,58 @@ def tokens_simple(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ).where(F.col("term") != "")
 
 
+# No-whitespace scripts: stopword-marker voting cannot see them (a CJK/Thai
+# sentence is one letter-run "token"), so these languages vote by SCRIPT
+# CHARACTER counts instead — closing the reference langdetect tail
+# (extract_words.py:165-181: ja/ko/th/zh). Patterns are single character
+# classes written in \x{...} form, valid in BOTH Java regex (Spark) and RE2
+# (the DuckDB oracle). Han characters count toward Japanese when any kana is
+# present (kanji in Japanese text), toward zh only in kana-free documents;
+# zh-cn/zh-tw are collapsed to 'zh' (simplified/traditional split is a
+# character-frequency problem out of scope for a marker detector).
+_KANA = r"[\x{3040}-\x{30FF}]"
+_HAN = r"[\x{4E00}-\x{9FFF}]"
+_HANGUL = r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]"
+_THAI = r"[\x{0E00}-\x{0E7F}]"
+
+
+def _script_votes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang, votes) rows for the script-voting languages, zero rows for
+    documents without those scripts."""
+    text = F.col(text_col)
+    kana = F.regexp_count(text, F.lit(_KANA))
+    han = F.regexp_count(text, F.lit(_HAN))
+    counted = docs.select(
+        F.col(id_col),
+        F.array(
+            F.struct(
+                F.lit("ja").alias("lang"),
+                F.when(kana > 0, kana + han).otherwise(0).alias("votes"),
+            ),
+            F.struct(
+                F.lit("zh").alias("lang"),
+                F.when(kana == 0, han).otherwise(0).alias("votes"),
+            ),
+            F.struct(
+                F.lit("ko").alias("lang"),
+                F.regexp_count(text, F.lit(_HANGUL)).alias("votes"),
+            ),
+            F.struct(
+                F.lit("th").alias("lang"),
+                F.regexp_count(text, F.lit(_THAI)).alias("votes"),
+            ),
+        ).alias("sv"),
+    )
+    ex = counted.select(id_col, F.explode("sv").alias("s")).select(
+        id_col, F.col("s.lang").alias("lang"),
+        F.col("s.votes").cast("long").alias("votes"),
+    )
+    return ex.where(F.col("votes") > 0)
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, pred_lang, votes): argmax stopword-marker votes, tie-break by
+    """(id, pred_lang, votes): argmax stopword-marker votes (plus script-
+    character votes for the no-whitespace scripts ja/zh/ko/th), tie-break by
     language code asc; 'und' (undetermined) when nothing matches."""
     toks = tokens_simple(docs, id_col, text_col)
     # ONE pass: broadcast the (lang, term) marker dimension and join — the
@@ -108,7 +158,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     votes = (
         toks.join(F.broadcast(markers), "term")
         .groupBy(id_col, "lang")
-        .agg(F.count("*").alias("votes"))
+        .agg(F.count("*").cast("long").alias("votes"))
+        .unionByName(_script_votes(docs, id_col, text_col))
     )
     from pyspark.sql import Window
 
