@@ -598,3 +598,67 @@ def test_iceberg_catalog_roundtrip_if_available(spark, tmp_path):
         }
 
     assert content(idx_t) == content(idx_p)
+
+
+def test_merge_runs_dim_collision_marker_contract():
+    """Unit contract for the hot path's only error-recovery branch: a
+    vocabulary dim with two rows for one term_id raises the marker ValueError
+    and _is_term_id_collision recognizes it. Pinning the marker string here
+    means a Spark upgrade that truncates task error text turns into a test
+    failure instead of silently dead fallback code (index/build.py:640)."""
+    import pandas as pd
+
+    from words_in_context_spark.index import build as b
+
+    fn = b._merge_runs_dim()
+    left = pd.DataFrame({"term_id": [1], "salt": [0]})
+    right = pd.DataFrame(
+        {"term_id": [1, 1], "term": ["aa", "bb"], "bucket": [0, 1]}
+    )
+    with pytest.raises(ValueError) as ei:
+        fn(left, right)
+    assert b._is_term_id_collision(ei.value)
+    # the matcher must also see the marker through JVM exception wrapping,
+    # where the original message survives only as a substring
+    assert b._is_term_id_collision(
+        RuntimeError("org.apache.spark...: ValueError: term_id collision: "
+                     "['aa', 'bb']\n full traceback follows")
+    )
+    assert not b._is_term_id_collision(ValueError("unrelated task failure"))
+
+
+def test_term_id_collision_fallback_matches_hot_path(
+    spark, docs_df, index_dir, tmp_path_factory, monkeypatch
+):
+    """Force real term_id collisions (hash squeezed to a 2-value range) and
+    assert build_index completes via the string-keyed fallback with segments
+    row-identical — including encoded posting blobs — to the hot path's
+    build of the same corpus. Exercises both the marker-matching except and
+    _encode_merge_by_term itself, which never runs in a normal build."""
+    from words_in_context_spark.index import build as b
+
+    monkeypatch.setattr(
+        b, "_term_id_expr",
+        lambda col: F.pmod(F.xxhash64(col), F.lit(2)),
+    )
+    seen = []
+    real_match = b._is_term_id_collision
+
+    def spy(exc):
+        hit = real_match(exc)
+        seen.append(hit)
+        return hit
+
+    monkeypatch.setattr(b, "_is_term_id_collision", spy)
+    d = str(tmp_path_factory.mktemp("collide") / "idx")
+    res = build_index(spark, docs_df, d, n_buckets=N_BUCKETS, n_salts=4)
+    assert res.n_docs == N_DOCS
+    assert True in seen, "hot path never raised the collision marker"
+
+    def seg_rows(ix):
+        rows = spark.read.parquet(os.path.join(ix, "segments")).collect()
+        return sorted(
+            tuple(r[c] for c in sorted(r.asDict())) for r in rows
+        )
+
+    assert seg_rows(d) == seg_rows(index_dir)

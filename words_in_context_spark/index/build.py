@@ -257,6 +257,23 @@ def _merge_runs(n_buckets: int):
 _SEGMENT_COLS = [f.strip().split()[0] for f in SEGMENT_SCHEMA.split(",")]
 
 
+def _term_id_expr(col):
+    """Numeric surrogate key for the encode/merge shuffle (hot path keys
+    every per-posting shuffle column fixed-width). Module-level so tests can
+    monkeypatch it to a tiny range and force the collision fallback — the
+    hot path's only error-recovery branch, which would otherwise never run."""
+    return F.xxhash64(col)
+
+
+def _is_term_id_collision(exc: BaseException) -> bool:
+    """True iff a failed Spark job carries ``_merge_runs_dim``'s collision
+    marker. Matched on the message substring because the task's ValueError
+    crosses the JVM boundary wrapped in PythonException text; the marker
+    string is pinned by tests/test_index_build.py so a Spark upgrade that
+    truncates error text is caught as a test failure, not silent dead code."""
+    return "term_id collision" in str(exc)
+
+
 def _merge_runs_dim():
     """Cogrouped merge for the term_id-keyed batch build: ``left`` carries a
     term's encoded runs (term_id-keyed), ``right`` exactly one vocabulary-dim
@@ -271,7 +288,8 @@ def _merge_runs_dim():
             # rows) — but return the right shape defensively
             return pd.DataFrame([], columns=_SEGMENT_COLS)
         if len(right) != 1:
-            # two distinct terms hashed to one term_id (~v²/2⁶⁴ per build):
+            # two distinct terms hashed to one term_id (~v²/2⁶⁵ per build,
+            # the birthday approximation v²/2/2⁶⁴):
             # their postings were merged at encode, unrecoverable in-job —
             # fail the job; the driver catches this marker and re-runs the
             # segments build on the always-correct string-keyed path. A
@@ -419,13 +437,16 @@ def build_index(
     # corpus tokenized on ~2 tasks of a 32-slot session — the stage ran near
     # serial). When the scan can't feed every slot, widen it explicitly; at
     # web scale input splits outnumber slots and this no-ops. Checked only
-    # when tokenize will actually run — a resume from an existing forward
-    # checkpoint must not touch (or even plan over) the docs input.
+    # when tokenize will actually run: a fresh forward build, OR a
+    # with_positions resume whose positions store is missing (forward
+    # present but tokenize(docs) still runs for the positional pass). A
+    # pure forward resume must not touch (or even plan over) the docs
+    # input.
     par = spark.sparkContext.defaultParallelism
-    if (
-        not _exists(os.path.join(index_dir, "forward"))
-        and docs.rdd.getNumPartitions() < par
-    ):
+    will_tokenize = not _exists(os.path.join(index_dir, "forward")) or (
+        with_positions and not _exists(mf.data_dir(index_dir, "positions"))
+    )
+    if will_tokenize and docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(2 * par)
     try:
         return _build_index_inner(
@@ -566,10 +587,10 @@ def _build_index_inner(
                 base.select("term")
                 .distinct()
                 .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
-                .withColumn("term_id", F.xxhash64(F.col("term")))
+                .withColumn("term_id", _term_id_expr(F.col("term")))
             )
             postings_in = base.select(
-                F.xxhash64(F.col("term")).alias("term_id"),
+                _term_id_expr(F.col("term")).alias("term_id"),
                 "doc_id", "tf", "doc_len",
             )
             grouped = (
@@ -621,7 +642,7 @@ def _build_index_inner(
         try:
             _write_segments(_encode_merge_by_term_id())
         except Exception as e:  # noqa: BLE001 — marker-matched, else re-raised
-            if "term_id collision" not in str(e):
+            if not _is_term_id_collision(e):
                 raise
             _write_segments(_encode_merge_by_term())
         _touch_success(os.path.join(index_dir, "segments"))

@@ -377,7 +377,7 @@ def near_dup_drop_list(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
-    components_fn=connected_components,
+    components_fn=connected_components_star,
 ) -> DataFrame:
     """The full near-dup pruning chain as one operator: shingles → MinHash
     signatures → banded LSH candidates → exact-Jaccard verify → connected
@@ -388,8 +388,13 @@ def near_dup_drop_list(
     takedown flow; end-to-end equality with a batch build over the keep-set
     is pinned in tests/test_streaming.py). Ids need only be orderable:
     string urls pick the lexicographically smallest member as canonical.
-    ``components_fn``: connected_components (default, diameter-bounded) or
-    connected_components_star (O(log n) rounds)."""
+    ``components_fn``: connected_components_star (default — O(log n) rounds
+    on ANY graph diameter, so the production prune path cannot hit the
+    propagation variant's max-iteration bound on an adversarial long-chain
+    dup graph) or connected_components (min-label propagation,
+    diameter-bounded rounds; raises rather than returning unconverged
+    labels). The two are property-tested equal on random and chain graphs
+    (tests/test_pipeline_ops.py)."""
     sh = shingles(docs, id_col=id_col, text_col=text_col)
     sig = minhash_signatures(sh, id_col=id_col)
     cand = lsh_candidate_pairs(sig, id_col=id_col)
