@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -490,49 +491,122 @@ def _build_index_inner(
     # parquet once: the scratch parquet doubles as a resume checkpoint and
     # as the engine's term-doc matrix artifact, and both downstream passes
     # (doc stats, postings) read it instead of re-tokenizing.
-    if not _exists(forward_path):
-        fwd = tokenize_tf(docs, lemmatizer=lemmatizer) if tokens is None else (
-            tokens.groupBy("url", "term")
-            .agg(F.count("*").alias("tf"))
-            .withColumn(
-                "doc_len",
-                F.sum("tf").over(__import__("pyspark").sql.Window.partitionBy("url")),
+    from pyspark.sql import Observation
+
+    n_docs = avgdl = None
+    fresh_forward = not _exists(forward_path)
+    if fresh_forward:
+        if tokens is None:
+            # doc_markers: one (term='', tf=0) row per document lets this
+            # single write pass ALSO carry the corpus stats (observed below)
+            # and the doc_map content (marker-scan later) — the separate
+            # groupBy-doc_map job the build used to run was pure fixed
+            # orchestration floor, paid at every parallelism level
+            fwd = tokenize_tf(docs, lemmatizer=lemmatizer, doc_markers=True)
+        else:
+            base_fwd = (
+                tokens.groupBy("url", "term")
+                .agg(F.count("*").alias("tf"))
+                .withColumn(
+                    "doc_len",
+                    F.sum("tf").over(
+                        __import__("pyspark").sql.Window.partitionBy("url")
+                    ),
+                )
+                .select("url", "term", "tf", "doc_len")
             )
-        )
+            markers = base_fwd.select("url", "doc_len").distinct().select(
+                "url", F.lit("").alias("term"),
+                F.lit(0).alias("tf"), "doc_len",
+            )
+            fwd = base_fwd.unionByName(
+                markers.select("url", "term", "tf", "doc_len")
+            )
         # persist doc_id alongside: the encode scan then prunes the url
         # string column entirely (8 fixed bytes on disk buy a string-free
         # hot-path scan; computed JVM-side during this write pass)
         fwd = fwd.withColumn("doc_id", F.xxhash64(F.col("url")))
-        fwd.write.mode("overwrite").parquet(forward_path)
-    forward = spark.read.parquet(forward_path)
-
-    # ---- doc stats (A4/A7): built once, reused on resume -------------------
-    n_docs = avgdl = None
-    if not _exists(doc_map_path):
-        from pyspark.sql import Observation
-
-        # N and avgdl observed DURING the write — a separate count+avg job
-        # over doc_map is pure fixed overhead the build's scaling pays at
-        # every parallelism level
+        # N and avgdl observed DURING the forward write — from here the
+        # segments job has everything it needs, so doc_map drops off the
+        # build's critical path entirely (written concurrently below)
         obs = Observation()
-        doc_map = (
-            forward.groupBy("url")
-            .agg(F.max("doc_len").alias("doc_len"))
-            .withColumn("doc_id", F.xxhash64(F.col("url")))
-            .select("doc_id", "url", "doc_len")
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg("doc_len").alias("avgdl"),
-            )
+        fwd = fwd.observe(
+            obs,
+            F.sum(
+                F.when(F.col("term") == "", 1).otherwise(0)
+            ).alias("n_docs"),
+            F.sum(
+                F.when(F.col("term") == "", F.col("doc_len"))
+            ).alias("len_sum"),
         )
-        doc_map.write.mode("overwrite").parquet(doc_map_path)
+        fwd.write.mode("overwrite").parquet(forward_path)
         got = obs.get
-        n_docs, avgdl = got["n_docs"], got["avgdl"]
+        n_docs = int(got["n_docs"])
+        avgdl = float(got["len_sum"]) / max(n_docs, 1)
+    if fresh_forward:
+        # explicit schema: skips the footer schema-inference job (we just
+        # wrote these files; the schema is known)
+        forward = spark.read.schema(
+            "url string, term string, tf int, doc_len int, doc_id long"
+        ).parquet(forward_path)
+    else:
+        # resume: infer — a legacy checkpoint may lack doc_id, and an
+        # explicit schema would surface the gap as silent nulls
+        forward = spark.read.parquet(forward_path)
 
-    doc_map = spark.read.parquet(doc_map_path)
+    # ---- doc stats + doc_map (A4/A7): built once, reused on resume ---------
+    doc_map_thread = None
+    doc_map_errs: list[BaseException] = []
+    if not _exists(doc_map_path):
+        has_markers = fresh_forward or bool(
+            forward.where(F.col("term") == "").limit(1).count()
+        )
+        if has_markers:
+            # doc_map IS the marker rows: a narrow pushdown scan-and-write,
+            # no shuffle. Overlapped with the segments job in a thread
+            # (Spark schedules concurrent jobs from separate driver
+            # threads); joined before positions/stats — resume recomputes
+            # whichever of doc_map/segments a crash left missing, so the
+            # commit order between them is free.
+            doc_map_src = forward.where(F.col("term") == "").select(
+                "doc_id", "url", "doc_len"
+            )
+            if n_docs is None:
+                # resume over a marker-bearing forward: stats from markers
+                n_docs, avgdl = doc_map_src.agg(
+                    F.count("*"), F.avg("doc_len")
+                ).collect()[0]
+
+            def _write_doc_map() -> None:
+                try:
+                    doc_map_src.write.mode("overwrite").parquet(doc_map_path)
+                except BaseException as e:  # noqa: BLE001 — re-raised on join
+                    doc_map_errs.append(e)
+
+            doc_map_thread = threading.Thread(
+                target=_write_doc_map, name="wics-doc-map-write", daemon=True
+            )
+            doc_map_thread.start()
+        else:
+            # legacy forward checkpoint (pre-marker build being resumed):
+            # derive doc_map the original way, stats observed during write
+            obs = Observation()
+            doc_map = (
+                forward.groupBy("url")
+                .agg(F.max("doc_len").alias("doc_len"))
+                .withColumn("doc_id", F.xxhash64(F.col("url")))
+                .select("doc_id", "url", "doc_len")
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("doc_len").alias("avgdl"),
+                )
+            )
+            doc_map.write.mode("overwrite").parquet(doc_map_path)
+            got = obs.get
+            n_docs, avgdl = got["n_docs"], got["avgdl"]
     if n_docs is None:
-        n_docs, avgdl = doc_map.agg(
+        n_docs, avgdl = spark.read.parquet(doc_map_path).agg(
             F.count("*"), F.avg("doc_len")
         ).collect()[0]
     avgdl = float(avgdl)
@@ -558,6 +632,11 @@ def _build_index_inner(
             forward
             if "doc_id" in forward.columns
             else forward.withColumn("doc_id", F.xxhash64(F.col("url")))
+        ).where(
+            # doc-marker rows (term='') are doc_map/stats content, not
+            # postings; the predicate pushes to the parquet scan and no-ops
+            # on marker-free legacy checkpoints
+            F.col("term") != ""
         ).withColumn("bucket", bucket_expr(F.col("term"), n_buckets)).where(
             F.col("bucket").isin(todo)  # resume: only missing buckets
         )
@@ -640,11 +719,19 @@ def _build_index_inner(
             )
 
         try:
-            _write_segments(_encode_merge_by_term_id())
-        except Exception as e:  # noqa: BLE001 — marker-matched, else re-raised
-            if not _is_term_id_collision(e):
-                raise
-            _write_segments(_encode_merge_by_term())
+            try:
+                _write_segments(_encode_merge_by_term_id())
+            except Exception as e:  # noqa: BLE001 — marker-matched else raise
+                if not _is_term_id_collision(e):
+                    raise
+                _write_segments(_encode_merge_by_term())
+        except BaseException:
+            # a failed segments job must not leave the concurrent doc_map
+            # write dangling — a same-session retry would race its own
+            # _exists check against this thread's in-flight files
+            if doc_map_thread is not None:
+                doc_map_thread.join()
+            raise
         _touch_success(os.path.join(index_dir, "segments"))
         # ---- per-bucket manifest commit (metrics from the written files) ---
         metrics = _bucket_metrics(
@@ -666,6 +753,13 @@ def _build_index_inner(
                     },
                 },
             )
+
+    # barrier: doc_map must be on disk before the positions join reads it
+    # and before stats.json commits the build
+    if doc_map_thread is not None:
+        doc_map_thread.join()
+    if doc_map_errs:
+        raise doc_map_errs[0]
 
     if with_positions:
         positions_path = mf.data_dir(index_dir, "positions", generation)

@@ -206,6 +206,25 @@ def _collect_lists(
     return lists
 
 
+def query_terms(text: str, lang: str = "en", lemmatizer=None) -> list[str]:
+    """Tokenize a free-text query with the EXACT document tokenizer (same
+    normalization, same lemmatizer seam, same ja/zh/ko/th character-bigram
+    routing — textparse.cjk_parts), so query terms hit the index's term
+    inventory by construction: ``query_terms('東京都', 'ja')`` →
+    ``['東京', '京都']``. Pass the result to query_topk / query_topk_local."""
+    from ..lemma import get_lemmatizer
+    from ..textparse import extract_lines, tokenize_lines
+
+    lem = get_lemmatizer(lemmatizer)
+    if lem is not None and hasattr(lem, "for_lang"):
+        lem = lem.for_lang(lang or "en")
+    doc = tokenize_lines(extract_lines(text), lang=lang or "en", lemmatizer=lem)
+    seen: dict[str, None] = {}
+    for t in doc.tokens:
+        seen.setdefault(t.term)
+    return list(seen)
+
+
 def query_topk_local(
     spark: SparkSession, h: IndexHandle, terms: list[str], k: int = 10
 ) -> list[tuple[int, float]]:

@@ -162,12 +162,19 @@ TF_SCHEMA = "url string, term string, tf int, doc_len int"
 
 
 def _tf_batches(
-    it: Iterator[pd.DataFrame], lemmatizer=None
+    it: Iterator[pd.DataFrame], lemmatizer=None, doc_markers: bool = False
 ) -> Iterator[pd.DataFrame]:
     """Per-document tf aggregation INSIDE the UDF: emits one row per distinct
     (url, term) with the document length attached. Because aggregation
     happens before any shuffle, the index build never moves raw token rows —
-    the map-side output is already the forward index."""
+    the map-side output is already the forward index.
+
+    ``doc_markers=True`` additionally emits exactly one marker row per
+    document (term='', tf=0 — '' can never be a real token, P7 drops empty
+    tokens) carrying (url, doc_len). The index build observes corpus stats
+    (n_docs, avgdl) during the forward write and derives doc_map by a
+    narrow pushdown scan of the markers, deleting a whole groupBy job from
+    the build's fixed orchestration floor."""
     from ..textparse_vec import tokenize_batch
 
     for pdf in it:
@@ -200,18 +207,28 @@ def _tf_batches(
         doc_len = out.groupby("doc_idx", sort=False).size()
         tf["doc_len"] = tf["doc_idx"].map(doc_len).astype("int32")
         tf["url"] = tf["doc_idx"].map(lambda i: urls[i])
+        if doc_markers:
+            mk = tf.drop_duplicates("doc_idx")[["url", "doc_len"]].copy()
+            mk["term"] = ""
+            mk["tf"] = 0
+            tf = pd.concat(
+                [tf[["url", "term", "tf", "doc_len"]], mk], ignore_index=True
+            )
         yield tf[["url", "term", "tf", "doc_len"]].astype(
             {"tf": "int32", "doc_len": "int32"}
         )
 
 
-def tokenize_tf(docs: DataFrame, lemmatizer=None) -> DataFrame:
+def tokenize_tf(
+    docs: DataFrame, lemmatizer=None, doc_markers: bool = False
+) -> DataFrame:
     """docs(url, text[, lang]) → (url, term, tf, doc_len): the forward index
     emitted directly from the extract UDTF with NO token-level shuffle.
-    ``lemmatizer``: see tokenize()."""
+    ``lemmatizer``: see tokenize(). ``doc_markers``: see _tf_batches."""
     from ..lemma import get_lemmatizer
 
     lem = get_lemmatizer(lemmatizer)
     return _select_doc_cols(docs).mapInPandas(
-        lambda it: _tf_batches(it, lemmatizer=lem), schema=TF_SCHEMA
+        lambda it: _tf_batches(it, lemmatizer=lem, doc_markers=doc_markers),
+        schema=TF_SCHEMA,
     )

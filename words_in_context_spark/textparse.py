@@ -43,6 +43,54 @@ except ImportError:  # pragma: no cover - regex is present in the test image
     _APOSTROPHE_RE = _stdre.compile(rf"[{_LATIN}]{{1,50}}'[{_LATIN}]{{2,50}}")
     _NON_WORD_RE = _stdre.compile(rf"[^{_LATIN}{_CYRILLIC}]")
 
+# ---- no-whitespace-script tokenization (ja/zh/ko/th) -----------------------
+# The reference corpus pipeline language-detects these scripts
+# (extract_words.py:165-181 routes every langdetect language); the alphabet
+# normalization above (P8) would strip their characters entirely (they are
+# neither Latin nor Cyrillic), so documents routed here by lang / lang_id are
+# tokenized as overlapping CHARACTER BIGRAMS per script run — the standard
+# IR segmentation for unsegmented scripts (CJK bigram indexing). Ranges match
+# operators/textquality.py's lang_id script-vote classes exactly, so a doc
+# detected as ja/zh/ko/th tokenizes with the same character inventory that
+# routed it.
+_CJK_LANGS = frozenset({"ja", "zh", "ko", "th"})
+_CJK_RUN_RE = _stdre.compile(
+    "["
+    "\u3040-\u30FF"  # hiragana + katakana (lang_id _KANA)
+    "\u4E00-\u9FFF"  # CJK unified ideographs (lang_id _HAN)
+    "\uAC00-\uD7AF\u1100-\u11FF"  # hangul syllables + jamo (lang_id _HANGUL)
+    "\u0E00-\u0E7F"  # thai (lang_id _THAI)
+    "]+"
+)
+
+
+def cjk_parts(raw_lower: str) -> list[str]:
+    """Script-aware part split for ja/zh/ko/th documents: each run of
+    kana/han/hangul/thai characters emits its overlapping character bigrams
+    (the character itself for a length-1 run); interleaved Latin/Cyrillic
+    substrings fall through to the standard alphabet normalization (P8), so
+    a CJK document's embedded ASCII words index normally."""
+    parts: list[str] = []
+    pos = 0
+
+    def _latin_seg(seg: str) -> None:
+        if seg:
+            parts.extend(
+                p for p in _NON_WORD_RE.sub(" ", seg).split() if has_alpha(p)
+            )
+
+    for m in _CJK_RUN_RE.finditer(raw_lower):
+        _latin_seg(raw_lower[pos:m.start()])
+        run = m.group()
+        if len(run) == 1:
+            parts.append(run)
+        else:
+            parts.extend(run[i:i + 2] for i in range(len(run) - 1))
+        pos = m.end()
+    _latin_seg(raw_lower[pos:])
+    return parts
+
+
 # HTML/formatting tag pattern — same effective pattern as the reference's
 # TAG_REGEX (extract_words.py:26); matches e.g. "<i>", "</i>", "{y:i}>"-ish
 # runs: any run of '<', '|', '/' chars, one more char, then '>'.
@@ -313,7 +361,11 @@ def tokenize_lines(
                 result.total_words += 1
                 continue
 
-            parts = _NON_WORD_RE.sub(" ", raw.lower()).split()
+            parts = (
+                cjk_parts(raw.lower())
+                if lang in _CJK_LANGS
+                else _NON_WORD_RE.sub(" ", raw.lower()).split()
+            )
             for part in parts:
                 if not has_alpha(part):
                     continue

@@ -26,8 +26,10 @@ import pandas as pd
 
 from .textparse import (
     _APOSTROPHE_RE,
+    _CJK_LANGS,
     _NON_WORD_RE,
     _SENT_END,
+    cjk_parts,
     extract_lines,
     has_alpha,
     is_namecase,
@@ -44,7 +46,7 @@ class _UniqueTokenInfo:
     __slots__ = ("open_b", "close_b", "dash", "endsent", "alpha", "namecase",
                  "apos_de", "lower", "parts", "lemma_parts", "n_parts")
 
-    def __init__(self, uniques: np.ndarray, lemmatizer=None):
+    def __init__(self, uniques: np.ndarray, lemmatizer=None, cjk=False):
         n = len(uniques)
         self.open_b = np.empty(n, dtype=bool)
         self.close_b = np.empty(n, dtype=bool)
@@ -69,7 +71,11 @@ class _UniqueTokenInfo:
             self.namecase[i] = is_namecase(raw)
             self.apos_de[i] = bool(_APOSTROPHE_RE.match(raw))
             self.lower[i] = raw.lower()
-            parts = _NON_WORD_RE.sub(" ", raw.lower()).split()
+            parts = (
+                cjk_parts(raw.lower())
+                if cjk
+                else _NON_WORD_RE.sub(" ", raw.lower()).split()
+            )
             self.parts[i] = [p for p in parts if has_alpha(p)]
             self.n_parts[i] = len(self.parts[i])
             if lemmatizer is not None:
@@ -108,6 +114,32 @@ def tokenize_batch(
             return pd.DataFrame(columns=TOKEN_COLS)
         return pd.concat(frames, ignore_index=True)
 
+    # ---- script routing: ja/zh/ko/th use cjk_parts ------------------------
+    # Unique-token part-splitting is script-routing-dependent, so a mixed
+    # batch splits CJK docs from the rest (same remap device as the
+    # ByLanguage branch above); a uniform batch just sets the flag.
+    cjk_mask = [(lg or "en") in _CJK_LANGS for lg in langs]
+    cjk = any(cjk_mask)
+    if cjk and not all(cjk_mask):
+        frames = []
+        for want in (False, True):
+            sel = [i for i, c in enumerate(cjk_mask) if c == want]
+            if not sel:
+                continue
+            sub = tokenize_batch(
+                [urls[i] for i in sel],
+                [texts[i] for i in sel],
+                [langs[i] for i in sel],
+                lemmatizer=lemmatizer,
+            )
+            if not sub.empty:
+                remap = np.asarray(sel, dtype=np.int64)
+                sub["doc_idx"] = remap[sub["doc_idx"].to_numpy(dtype=np.int64)]
+                frames.append(sub)
+        if not frames:
+            return pd.DataFrame(columns=TOKEN_COLS)
+        return pd.concat(frames, ignore_index=True)
+
     # ---- explode docs → lines → raw tokens (C-speed pandas) ---------------
     doc_idx_l, line_id_l, line_l = [], [], []
     for di, text in enumerate(texts):
@@ -135,7 +167,7 @@ def tokenize_batch(
     doc_idx = toks["doc_idx"].to_numpy(dtype=np.int64)
     line_id = toks["line_id"].to_numpy(dtype=np.int64)
     codes, uniques = pd.factorize(toks["toks"])
-    info = _UniqueTokenInfo(uniques.to_numpy(), lemmatizer=lemmatizer)
+    info = _UniqueTokenInfo(uniques.to_numpy(), lemmatizer=lemmatizer, cjk=cjk)
 
     n = codes.size
     open_b = info.open_b[codes]
