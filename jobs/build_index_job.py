@@ -8,6 +8,14 @@
 On a cluster, add --master/--num-executors as usual; the job only uses the
 active session's parallelism. With --query it runs a BM25 top-10 retrieval
 after the build and prints the results (smoke check).
+
+Recommended multi-executor submit conf (measured on the executor-axis bench,
+tools/executor_axis_bench.py — closed a 13% multi-JVM wall gap):
+    --conf spark.locality.wait=0          # shuffle-heavy build; Arrow stages
+                                          # have no HDFS locality to wait for
+    --conf spark.reducer.maxSizeInFlight=96m   # deeper fetch window hides
+                                               # inter-executor netty latency
+    --conf spark.sql.execution.arrow.maxRecordsPerBatch=512
 """
 
 from __future__ import annotations

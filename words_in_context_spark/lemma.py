@@ -259,6 +259,54 @@ IRREGULAR_DE: dict[str, str] = {
     "zog": "ziehen", "zogen": "ziehen", "gezogen": "ziehen",
     "flog": "fliegen", "flogen": "fliegen", "geflogen": "fliegen",
     "verlor": "verlieren", "verloren": "verlieren",
+    # second tier of strong verbs (r6): preterite / participle → infinitive
+    "schlief": "schlafen", "schliefen": "schlafen",
+    "geschlafen": "schlafen",
+    "traf": "treffen", "trafen": "treffen", "getroffen": "treffen",
+    "half": "helfen", "halfen": "helfen", "geholfen": "helfen",
+    "begann": "beginnen", "begannen": "beginnen",
+    "begonnen": "beginnen",
+    # identity guards: infinitives the -innen plural rule would mangle
+    "beginnen": "beginnen", "gewinnen": "gewinnen",
+    "entrinnen": "entrinnen", "zerrinnen": "zerrinnen",
+    "sang": "singen", "sangen": "singen", "gesungen": "singen",
+    "sprang": "springen", "sprangen": "springen",
+    "gesprungen": "springen",
+    "schwamm": "schwimmen", "schwammen": "schwimmen",
+    "geschwommen": "schwimmen",
+    "saß": "sitzen", "saßen": "sitzen", "gesessen": "sitzen",
+    "lag": "liegen", "lagen": "liegen", "gelegen": "liegen",
+    "hing": "hängen", "hingen": "hängen", "gehangen": "hängen",
+    "schlug": "schlagen", "schlugen": "schlagen",
+    "geschlagen": "schlagen",
+    "wuchs": "wachsen", "wuchsen": "wachsen", "gewachsen": "wachsen",
+    "wusch": "waschen", "wuschen": "waschen", "gewaschen": "waschen",
+    "schloss": "schließen", "schlossen": "schließen",
+    "geschlossen": "schließen",
+    "vergaß": "vergessen", "vergaßen": "vergessen",
+    "vergessen": "vergessen",
+    "bot": "bieten", "boten": "bieten", "geboten": "bieten",
+    "band": "binden", "banden": "binden", "gebunden": "binden",
+    "schien": "scheinen", "schienen": "scheinen",
+    "geschienen": "scheinen",
+    "stieg": "steigen", "stiegen": "steigen", "gestiegen": "steigen",
+    "griff": "greifen", "griffen": "greifen", "gegriffen": "greifen",
+    "litt": "leiden", "litten": "leiden", "gelitten": "leiden",
+    "schnitt": "schneiden", "schnitten": "schneiden",
+    "geschnitten": "schneiden",
+    "ritt": "reiten", "geritten": "reiten",
+    "bat": "bitten", "baten": "bitten", "gebeten": "bitten",
+    "warf": "werfen", "warfen": "werfen", "geworfen": "werfen",
+    "fing": "fangen", "fingen": "fangen", "gefangen": "fangen",
+    "tat": "tun", "taten": "tun", "getan": "tun", "tut": "tun",
+    # irregular present forms (3sg umlaut / stem change — unambiguous)
+    "gibt": "geben", "sieht": "sehen", "nimmt": "nehmen",
+    "spricht": "sprechen", "läuft": "laufen", "fällt": "fallen",
+    "fährt": "fahren", "hält": "halten", "lässt": "lassen",
+    "liest": "lesen", "isst": "essen", "trifft": "treffen",
+    "hilft": "helfen", "stirbt": "sterben", "wirft": "werfen",
+    "fängt": "fangen", "schläft": "schlafen", "trägt": "tragen",
+    "wäscht": "waschen", "wächst": "wachsen", "vergisst": "vergessen",
     # modals
     "kann": "können", "kannst": "können", "konnte": "können",
     "konnten": "können", "gekonnt": "können", "könnte": "können",
@@ -339,6 +387,75 @@ IRREGULAR_ES = {
     "visto": "ver",
     "doy": "dar", "da": "dar", "dan": "dar", "daba": "dar", "dio": "dar",
     "dado": "dar",
+    # second tier of high-frequency verbs (r6)
+    # venir
+    "vengo": "venir", "viene": "venir", "vienen": "venir",
+    "venía": "venir", "vino": "venir", "vinieron": "venir",
+    "venido": "venir", "viniendo": "venir",
+    # poner
+    "pongo": "poner", "pone": "poner", "ponen": "poner",
+    "ponía": "poner", "puso": "poner", "pusieron": "poner",
+    "puesto": "poner",
+    # salir
+    "salgo": "salir", "sale": "salir", "salen": "salir",
+    "salía": "salir", "salió": "salir", "salido": "salir",
+    # seguir
+    "sigo": "seguir", "sigue": "seguir", "siguen": "seguir",
+    "siguió": "seguir", "siguieron": "seguir", "seguido": "seguir",
+    "siguiendo": "seguir",
+    # volver
+    "vuelvo": "volver", "vuelve": "volver", "vuelven": "volver",
+    "volvió": "volver", "vuelto": "volver",
+    # sentir
+    "siento": "sentir", "siente": "sentir", "sienten": "sentir",
+    "sintió": "sentir", "sintieron": "sentir", "sentido": "sentir",
+    "sintiendo": "sentir",
+    # traer
+    "traigo": "traer", "trae": "traer", "traen": "traer",
+    "trajo": "traer", "trajeron": "traer", "traído": "traer",
+    # oír
+    "oigo": "oír", "oye": "oír", "oyen": "oír", "oyó": "oír",
+    "oyeron": "oír", "oído": "oír", "oyendo": "oír",
+    # dormir / morir
+    "duermo": "dormir", "duerme": "dormir", "duermen": "dormir",
+    "durmió": "dormir", "dormido": "dormir", "durmiendo": "dormir",
+    "muere": "morir", "mueren": "morir", "murió": "morir",
+    "murieron": "morir", "muerto": "morir",
+    # pedir
+    "pido": "pedir", "pide": "pedir", "piden": "pedir",
+    "pidió": "pedir", "pidieron": "pedir", "pedido": "pedir",
+    "pidiendo": "pedir",
+    # conocer / parecer
+    "conozco": "conocer", "conoce": "conocer", "conocen": "conocer",
+    "conoció": "conocer", "conocido": "conocer",
+    "parezco": "parecer", "parece": "parecer", "parecen": "parecer",
+    "pareció": "parecer", "parecido": "parecer",
+    # creer / leer / caer (y-stem preterites and gerunds)
+    "creo": "creer", "cree": "creer", "creen": "creer",
+    "creyó": "creer", "creyeron": "creer", "creído": "creer",
+    "creyendo": "creer",
+    "leo": "leer", "lee": "leer", "leen": "leer", "leyó": "leer",
+    "leyeron": "leer", "leído": "leer", "leyendo": "leer",
+    "caigo": "caer", "cae": "caer", "caen": "caer", "cayó": "caer",
+    "cayeron": "caer", "caído": "caer", "cayendo": "caer",
+    # jugar / pensar / encontrar (stem-changing presents)
+    "juego": "jugar", "juega": "jugar", "juegan": "jugar",
+    "jugó": "jugar",
+    "pienso": "pensar", "piensa": "pensar", "piensan": "pensar",
+    "encuentro": "encontrar", "encuentra": "encontrar",
+    "encuentran": "encontrar",
+    # estar/tener/hacer/decir/poder: preterite + conditional tails
+    "estuvo": "estar", "estuvieron": "estar", "estuve": "estar",
+    "tuve": "tener", "tendrá": "tener", "tendría": "tener",
+    "hice": "hacer", "hará": "hacer", "haría": "hacer",
+    "haciendo": "hacer", "hacemos": "hacer", "hicimos": "hacer",
+    "dije": "decir", "dirá": "decir", "diría": "decir",
+    "diciendo": "decir",
+    "pude": "poder", "podrá": "poder", "podría": "poder",
+    "pudiendo": "poder",
+    # ser/ir shared + gerund
+    "fui": "ser", "fuimos": "ser", "yendo": "ir",
+    "habrá": "haber", "habría": "haber", "hubiera": "haber",
 }
 
 _ES_SAFE_PLURALS = (
