@@ -40,7 +40,11 @@ def main() -> None:
     ap.add_argument("--with-positions", action="store_true",
                     help="also build the positional store (wsid analog)")
     ap.add_argument("--lemmatizer", default=None,
-                    help="lemmatizer registry name (e.g. 'english'); default identity")
+                    help="lemmatizer registry name (e.g. 'english'), or a "
+                         "per-language routing spec "
+                         "'en=english,de=german,es=spanish,fr=french' "
+                         "(ByLanguage — unlisted languages pass through); "
+                         "default identity")
     ap.add_argument("--query", help="comma-separated terms for a post-build smoke query")
     ap.add_argument("--compact", action="store_true",
                     help="run generational compaction of the append-mode "
@@ -69,6 +73,12 @@ def main() -> None:
     else:
         ap.error("one of --input / --gen-docs is required")
 
+    lemmatizer = args.lemmatizer
+    if lemmatizer and "=" in lemmatizer:
+        lemmatizer = dict(
+            kv.split("=", 1) for kv in lemmatizer.split(",")
+        )
+
     t0 = time.time()
     res = build_index(
         spark,
@@ -78,7 +88,7 @@ def main() -> None:
         n_salts=args.n_salts,
         overwrite=args.overwrite,
         with_positions=args.with_positions,
-        lemmatizer=args.lemmatizer,
+        lemmatizer=lemmatizer,
     )
     sec = time.time() - t0
     print(

@@ -206,3 +206,74 @@ def test_three_language_routing_through_spark_tokenize(spark):
     assert got["u-de"] == ["gehen", "zeitung"]
     assert got["u-es"] == ["ser", "canción"]
     assert got["u-fr"] == ["fueron", "allées"]
+
+
+@pytest.mark.parametrize(
+    "word,lemma",
+    [
+        ("est", "être"), ("furent", "être"), ("été", "être"),
+        ("ont", "avoir"), ("eu", "avoir"),
+        ("vont", "aller"), ("allées", "aller"),
+        ("fit", "faire"), ("peuvent", "pouvoir"), ("voulu", "vouloir"),
+        ("vinrent", "venir"), ("prit", "prendre"), ("mis", "mettre"),
+        ("faut", "falloir"),
+        ("nations", "nation"), ("décisions", "décision"),
+        ("activités", "activité"), ("gouvernements", "gouvernement"),
+        ("châteaux", "château"), ("journaux", "journal"),
+        ("animaux", "animal"), ("travaux", "travail"),
+        ("yeux", "œil"),
+        ("taux", "taux"), ("faux", "faux"),   # short -aux guard
+        ("maison", "maison"), ("chien", "chien"),  # untouched regulars
+        ("vit", "vit"),  # ambiguous voir/vivre → deliberately untouched
+    ],
+)
+def test_french_lemma(word, lemma):
+    from words_in_context_spark.lemma import french_lemma
+
+    assert french_lemma(word) == lemma
+
+
+def test_french_lemma_idempotent_and_registered():
+    from words_in_context_spark.lemma import (
+        IRREGULAR_FR,
+        french_lemma,
+        get_lemmatizer,
+    )
+
+    assert get_lemmatizer("french") is french_lemma
+    for w in list(IRREGULAR_FR) + [
+        "nations", "journaux", "châteaux", "gouvernements", "activités"
+    ]:
+        out = french_lemma(w)
+        assert french_lemma(out) == out  # lemmas are fixpoints
+
+
+def test_four_language_routing_through_spark_tokenize(spark):
+    """ByLanguage with en+de+es+fr: the reference picks a spaCy model per
+    document language (extract_words.py:60,348,370); all four pure-Python
+    lemmatizers route per doc, unmapped languages fall through."""
+    from words_in_context_spark.operators.extract import tokenize
+
+    docs = spark.createDataFrame(
+        [
+            ("u-fr", "1\n00:00:00,000 --> 00:00:01,000\nfurent journaux\n",
+             "fr"),
+            ("u-es", "1\n00:00:00,000 --> 00:00:01,000\nfueron canciones\n",
+             "es"),
+            ("u-pt", "1\n00:00:00,000 --> 00:00:01,000\nfurent journaux\n",
+             "pt"),
+        ],
+        "url string, text string, lang string",
+    )
+    rows = tokenize(
+        docs,
+        lemmatizer={"en": "english", "de": "german", "es": "spanish",
+                    "fr": "french"},
+    ).collect()
+    terms = {}
+    for r in rows:
+        terms.setdefault(r["url"], []).append((r["tok_idx"], r["term"]))
+    got = {u: [t for _, t in sorted(v)] for u, v in terms.items()}
+    assert got["u-fr"] == ["être", "journal"]
+    assert got["u-es"] == ["ser", "canción"]
+    assert got["u-pt"] == ["furent", "journaux"]  # unmapped → identity

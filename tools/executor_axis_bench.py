@@ -154,12 +154,49 @@ def main() -> None:
     if sustained_gate:
         # round-5 finding: the 20 s probe has a blind spot for sustained
         # caps; a REAL hi-level build under a wall bound is the reliable
-        # window check. Recorded (not hidden) either way.
-        chk = run_level("exec:4", n_docs)
-        session["sustained_check"] = chk
-        print(json.dumps({"sustained_check": chk,
-                          "bound": sustained_gate,
-                          "clean": chk["sec"] <= sustained_gate}))
+        # window check. It is a GO/NO-GO: retry across windows, and if the
+        # host never delivers, abort the session rather than spend 25 min
+        # producing numbers a capped window already decided. Every check is
+        # recorded (not hidden) either way.
+        import time
+
+        retries = int(
+            os.environ.get("SPARK_GRAFT_EXEC_SUSTAINED_RETRIES", "3")
+        )
+        session["sustained_checks"] = []
+        for attempt in range(retries):
+            chk = run_level("exec:4", n_docs)
+            session["sustained_checks"].append(chk)
+            clean = chk["sec"] <= sustained_gate
+            print(json.dumps({"sustained_check": chk,
+                              "bound": sustained_gate,
+                              "clean": clean}))
+            if clean:
+                break
+            if attempt < retries - 1:
+                time.sleep(180)
+        else:
+            print(json.dumps({
+                "aborted": "sustained window check never passed",
+                "checks": [c["sec"] for c in session["sustained_checks"]],
+                "bound": sustained_gate,
+            }))
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            path = os.path.join(REPO, "BENCH", "executor_axis_latest.md")
+            stamp = dt.datetime.now(dt.timezone.utc).isoformat(
+                timespec="seconds"
+            )
+            with open(path, "a") as f:
+                f.write(
+                    f"\n## Session {stamp} — {n_docs} docs — ABORTED "
+                    "(sustained window check never passed: "
+                    + ", ".join(
+                        f"{c['sec']} s"
+                        for c in session["sustained_checks"]
+                    )
+                    + f" vs bound {sustained_gate} s)\n"
+                )
+            return
 
     for _ in range(n_pairs):
         probe = _cpu_probe()
@@ -247,9 +284,12 @@ def main() -> None:
         f.write(
             f"\n## Session {stamp} — {n_docs} docs\n\n"
             + (
-                f"Sustained window check: lc[4,2] {session['sustained_check']['sec']} s "
-                f"(bound {sustained_gate} s)\n\n"
-                if "sustained_check" in session else ""
+                "Sustained window check(s): lc[4,2] "
+                + ", ".join(
+                    f"{c['sec']} s" for c in session["sustained_checks"]
+                )
+                + f" (bound {sustained_gate} s)\n\n"
+                if session.get("sustained_checks") else ""
             )
             + "| pair | level | wall (s) | docs/sec | busy cores |\n"
             + "|---|---|---|---|---|\n"

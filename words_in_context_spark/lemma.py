@@ -477,11 +477,124 @@ def spanish_lemma(word: str) -> str:
     return word
 
 
+IRREGULAR_FR = {
+    # être
+    "suis": "être", "es": "être", "est": "être", "sommes": "être",
+    "êtes": "être", "sont": "être", "étais": "être", "était": "être",
+    "étions": "être", "étiez": "être", "étaient": "être",
+    "fut": "être", "furent": "être", "été": "être", "étant": "être",
+    "sera": "être", "serait": "être", "seront": "être", "soit": "être",
+    "soient": "être",
+    # avoir
+    "ai": "avoir", "as": "avoir", "a": "avoir", "avons": "avoir",
+    "avez": "avoir", "ont": "avoir", "avais": "avoir", "avait": "avoir",
+    "avaient": "avoir", "eut": "avoir", "eurent": "avoir", "eu": "avoir",
+    "eue": "avoir", "eues": "avoir", "aura": "avoir", "aurait": "avoir",
+    "auront": "avoir", "ayant": "avoir", "ait": "avoir",
+    # aller
+    "vais": "aller", "vas": "aller", "va": "aller", "allons": "aller",
+    "allez": "aller", "vont": "aller", "allais": "aller",
+    "allait": "aller", "allaient": "aller", "alla": "aller",
+    "allé": "aller", "allée": "aller", "allés": "aller",
+    "allées": "aller", "ira": "aller", "irait": "aller",
+    "iront": "aller", "aille": "aller",
+    # faire
+    "fais": "faire", "fait": "faire", "faisons": "faire",
+    "faites": "faire", "font": "faire", "faisait": "faire",
+    "faisaient": "faire", "fit": "faire", "firent": "faire",
+    "fera": "faire", "ferait": "faire", "feront": "faire",
+    "faisant": "faire", "fasse": "faire", "faits": "faire",
+    # dire
+    "dis": "dire", "dit": "dire", "disons": "dire", "dites": "dire",
+    "disent": "dire", "disait": "dire", "dirent": "dire",
+    "dira": "dire", "disant": "dire",
+    # pouvoir
+    "peux": "pouvoir", "peut": "pouvoir", "pouvons": "pouvoir",
+    "pouvez": "pouvoir", "peuvent": "pouvoir", "pouvait": "pouvoir",
+    "pouvaient": "pouvoir", "put": "pouvoir", "purent": "pouvoir",
+    "pu": "pouvoir", "pourra": "pouvoir", "pourrait": "pouvoir",
+    "pourront": "pouvoir", "puisse": "pouvoir",
+    # vouloir
+    "veux": "vouloir", "veut": "vouloir", "voulons": "vouloir",
+    "voulez": "vouloir", "veulent": "vouloir", "voulait": "vouloir",
+    "voulut": "vouloir", "voulu": "vouloir", "voudra": "vouloir",
+    "voudrait": "vouloir", "veuille": "vouloir",
+    # savoir
+    "sais": "savoir", "sait": "savoir", "savons": "savoir",
+    "savez": "savoir", "savent": "savoir", "savait": "savoir",
+    "sut": "savoir", "su": "savoir", "saura": "savoir",
+    "saurait": "savoir", "sache": "savoir", "sachant": "savoir",
+    # venir
+    "viens": "venir", "vient": "venir", "venons": "venir",
+    "venez": "venir", "viennent": "venir", "venait": "venir",
+    "vint": "venir", "vinrent": "venir", "venu": "venir",
+    "venue": "venir", "venus": "venir", "venues": "venir",
+    "viendra": "venir", "viendrait": "venir",
+    # voir ("vit" omitted: ambiguous with vivre 3sg present)
+    "vois": "voir", "voit": "voir", "voyons": "voir", "voyez": "voir",
+    "voient": "voir", "voyait": "voir", "virent": "voir", "vu": "voir",
+    "vue": "voir", "vus": "voir", "vues": "voir", "verra": "voir",
+    "verrait": "voir", "voyant": "voir",
+    # prendre
+    "prends": "prendre", "prend": "prendre", "prenons": "prendre",
+    "prenez": "prendre", "prennent": "prendre", "prenait": "prendre",
+    "prit": "prendre", "prirent": "prendre", "pris": "prendre",
+    "prise": "prendre", "prendra": "prendre", "prenant": "prendre",
+    # mettre
+    "mets": "mettre", "met": "mettre", "mettons": "mettre",
+    "mettez": "mettre", "mettent": "mettre", "mettait": "mettre",
+    "mit": "mettre", "mirent": "mettre", "mis": "mettre",
+    "mise": "mettre", "mettra": "mettre", "mettant": "mettre",
+    # devoir
+    "dois": "devoir", "doit": "devoir", "devons": "devoir",
+    "devez": "devoir", "doivent": "devoir", "devait": "devoir",
+    "dut": "devoir", "dû": "devoir", "due": "devoir",
+    "devra": "devoir", "devrait": "devoir",
+    # croire
+    "crois": "croire", "croit": "croire", "croyons": "croire",
+    "croyez": "croire", "croient": "croire", "croyait": "croire",
+    "crut": "croire", "cru": "croire", "croira": "croire",
+    "croyant": "croire",
+    # falloir (impersonal)
+    "faut": "falloir", "fallait": "falloir", "fallu": "falloir",
+    "faudra": "falloir", "faudrait": "falloir", "faille": "falloir",
+    # -aux plurals the suffix rule would mangle (travaux → "traval")
+    "travaux": "travail", "vitraux": "vitrail", "émaux": "émail",
+    "yeux": "œil", "cieux": "ciel",
+}
+
+_FR_SAFE_PLURALS = (
+    ("tions", "tion"),    # nations → nation
+    ("sions", "sion"),    # décisions → décision
+    ("ités", "ité"),      # activités → activité
+    ("ments", "ment"),    # gouvernements → gouvernement
+    ("eaux", "eau"),      # châteaux → château (before the -aux rule)
+    ("aux", "al"),        # journaux → journal, animaux → animal
+)
+
+
+def french_lemma(word: str) -> str:
+    """Deterministic French lemma of a lowercase alpha word — irregular
+    table plus only unambiguous derivational-plural rules (the -aux
+    exceptions live in the irregular table)."""
+    if word in IRREGULAR_FR:
+        return IRREGULAR_FR[word]
+    for suf, rep in _FR_SAFE_PLURALS:
+        # 5-char derivational suffixes are safe with a 2-char stem
+        # (nations, visions, moments); the short -aux/-eaux rules need a
+        # 3-char stem so invariants like chaux/taux stay untouched
+        min_stem = 2 if len(suf) >= 5 else 3
+        if word.endswith(suf) and len(word) >= len(suf) + min_stem:
+            return word[: -len(suf)] + rep
+    return word
+
+
 _REGISTRY: dict[str, Lemmatizer | None] = {
     "identity": None,
     "english": english_lemma,
     "german": german_lemma,
     "spanish": spanish_lemma,
+    "french": french_lemma,
 }
 
 
