@@ -228,11 +228,20 @@ def main() -> None:
 
     effs = [p["efficiency"] for p in session["pairs"]]
     parities = [p["rate_parity"] for p in session["pairs"]]
+    # Clean-pair criterion, exec-axis calibration (2026-08-17): lo pinned-2
+    # busy ≥1.8 plus a co-timestamped probe ≥0.95. The in-JVM suite's hi
+    # busy bound (≥7.2) is NOT usable here — every lc[4,2] run of the
+    # calibration day read busy 7.0-7.12 independent of window quality
+    # (including a 105 s sustained-clean build), i.e. for multi-JVM mode
+    # that counter is a structural ceiling, not a throttle discriminator.
+    # The probe IS the window discriminator (r5: probe↔pair-eff tracks
+    # monotonically; r6 session 1: probe 0.733 → eff 0.619, probe 1.025 →
+    # eff 0.838 with ctrl/hi wall 0.994).
     clean = [
         p["efficiency"]
         for p in session["pairs"]
         if p["lo"].get("busy_cores", 0) >= 1.8
-        and p["hi"].get("busy_cores", 0) >= 7.2
+        and p["probe_eff"] >= 0.95
     ]
     gate = round(statistics.median(clean or effs), 3)
     result = {
