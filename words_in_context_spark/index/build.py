@@ -42,7 +42,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 import threading
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -384,6 +385,10 @@ class BuildResult:
     avgdl: float
     built_buckets: list[int]
     skipped_buckets: list[int]
+    # wall seconds per build phase (forward tokenize+write, segments
+    # encode+merge+commit) — scaling-bench attribution telemetry; phases a
+    # resume skipped are absent
+    phase_seconds: dict = field(default_factory=dict)
 
 
 def build_index(
@@ -494,6 +499,7 @@ def _build_index_inner(
     from pyspark.sql import Observation
 
     n_docs = avgdl = None
+    phases: dict = {}
     fresh_forward = not _exists(forward_path)
     if fresh_forward:
         if tokens is None:
@@ -539,7 +545,9 @@ def _build_index_inner(
                 F.when(F.col("term") == "", F.col("doc_len"))
             ).alias("len_sum"),
         )
+        t_fwd = time.time()
         fwd.write.mode("overwrite").parquet(forward_path)
+        phases["forward_s"] = round(time.time() - t_fwd, 2)
         got = obs.get
         n_docs = int(got["n_docs"])
         avgdl = float(got["len_sum"]) / max(n_docs, 1)
@@ -718,6 +726,7 @@ def _build_index_inner(
                 _merge_runs(n_buckets), schema=SEGMENT_SCHEMA
             )
 
+        t_seg = time.time()
         try:
             try:
                 _write_segments(_encode_merge_by_term_id())
@@ -733,6 +742,7 @@ def _build_index_inner(
                 doc_map_thread.join()
             raise
         _touch_success(os.path.join(index_dir, "segments"))
+        phases["segments_s"] = round(time.time() - t_seg, 2)
         # ---- per-bucket manifest commit (metrics from the written files) ---
         metrics = _bucket_metrics(
             spark, os.path.join(index_dir, "segments"), todo
@@ -800,7 +810,9 @@ def _build_index_inner(
             **(stats_extra if with_positions else {}),
         },
     )
-    return BuildResult(index_dir, int(n_docs), avgdl, todo, sorted(done))
+    return BuildResult(
+        index_dir, int(n_docs), avgdl, todo, sorted(done), phases
+    )
 
 
 def _exists(path: str) -> bool:
