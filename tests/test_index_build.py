@@ -662,3 +662,153 @@ def test_term_id_collision_fallback_matches_hot_path(
         )
 
     assert seg_rows(d) == seg_rows(index_dir)
+
+
+# ---------------------------------------------------------------- mapside
+def _decoded_segments(spark, ix):
+    """Segments as {term: (bucket, df, cf, ids, tfs, dls, max_impact_all)}.
+    Mapside and grouped builds cut runs at different places, so blobs are
+    not byte-comparable — the DECODED content must be identical."""
+    from words_in_context_spark.index.query import _row_to_encoded
+    from words_in_context_spark.operators.codec import decode_postings
+
+    out = {}
+    for r in spark.read.parquet(os.path.join(ix, "segments")).collect():
+        d = r.asDict()
+        ids, tfs, dls = decode_postings(_row_to_encoded(d))
+        out[d["term"]] = (
+            d["bucket"], d["df"], d["cf"], ids.tolist(), tfs.tolist(),
+            dls.tolist(), round(float(d["max_impact_all"]), 6),
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def mapside_index_dir(spark, docs_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mapside") / "idx")
+    res = build_index(
+        spark, docs_df, d, n_buckets=N_BUCKETS, n_salts=4,
+        encode_mode="mapside",
+    )
+    assert res.n_docs == N_DOCS
+    return d
+
+
+def test_mapside_layout_marker(mapside_index_dir):
+    assert os.path.exists(
+        os.path.join(mapside_index_dir, "forward", "_MAPSIDE")
+    )
+
+
+def test_mapside_matches_grouped_decoded(
+    spark, index_dir, mapside_index_dir
+):
+    got = _decoded_segments(spark, mapside_index_dir)
+    want = _decoded_segments(spark, index_dir)
+    assert got == want
+
+
+def test_mapside_query_parity(spark, index_dir, mapside_index_dir):
+    """Distributed WAND exercises the salt-range block slicing over the
+    mapside build's run geometry; local WAND exercises block-max skipping."""
+    hm = load_index(mapside_index_dir)
+    hg = load_index(index_dir)
+    assert query_topk_local(spark, hm, QUERY, k=10) == query_topk_local(
+        spark, hg, QUERY, k=10
+    )
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in query_topk(spark, hm, QUERY, k=10).orderBy("rank").collect()
+    ]
+    assert dist == query_topk_local(spark, hg, QUERY, k=10)
+
+
+def test_mapside_resume_converges(
+    spark, docs_df, mapside_index_dir, tmp_path_factory, monkeypatch
+):
+    """Crash-resume over a mapside forward must take the mapside path again
+    (layout marker) and converge to the same decoded index."""
+    from words_in_context_spark.index import build as b
+
+    calls = []
+    real = b._encode_mapside
+
+    def spy(avgdl, n_salts):
+        calls.append(True)
+        return real(avgdl, n_salts)
+
+    monkeypatch.setattr(b, "_encode_mapside", spy)
+    crashed = str(tmp_path_factory.mktemp("mapside_resume") / "idx")
+    shutil.copytree(mapside_index_dir, crashed)
+    for bkt in range(0, N_BUCKETS, 2):
+        os.remove(mf.bucket_path(crashed, bkt))
+        part = os.path.join(crashed, "segments", f"bucket={bkt}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+    res = build_index(
+        spark, docs_df, crashed, n_buckets=N_BUCKETS, n_salts=4,
+        encode_mode="mapside",
+    )
+    assert sorted(res.built_buckets) == list(range(0, N_BUCKETS, 2))
+    assert calls, "resume did not take the mapside encode path"
+    assert _decoded_segments(spark, crashed) == _decoded_segments(
+        spark, mapside_index_dir
+    )
+
+
+def test_mapside_over_grouped_forward_falls_back(
+    spark, docs_df, index_dir, tmp_path_factory, monkeypatch
+):
+    """encode_mode='mapside' on a resume over a GROUPED-written forward
+    (no layout marker → partitioning unknown) must silently use the grouped
+    encode path, not trust an unverifiable layout."""
+    from words_in_context_spark.index import build as b
+
+    calls = []
+    real = b._encode_mapside
+
+    def spy(avgdl, n_salts):
+        calls.append(True)
+        return real(avgdl, n_salts)
+
+    monkeypatch.setattr(b, "_encode_mapside", spy)
+    crashed = str(tmp_path_factory.mktemp("grouped_fwd") / "idx")
+    shutil.copytree(index_dir, crashed)
+    os.remove(mf.bucket_path(crashed, 0))
+    shutil.rmtree(
+        os.path.join(crashed, "segments", "bucket=0"), ignore_errors=True
+    )
+    build_index(
+        spark, docs_df, crashed, n_buckets=N_BUCKETS, n_salts=4,
+        encode_mode="mapside",
+    )
+    assert not calls, "mapside ran without a layout marker"
+    assert _decoded_segments(spark, crashed) == _decoded_segments(
+        spark, index_dir
+    )
+
+
+def test_concat_run_rows_overlap_guard():
+    """The merge verifies run disjointness; an overlap raises the marker
+    _build_index_inner converts into the string-keyed rebuild."""
+    import pandas as pd
+
+    from words_in_context_spark.index.build import (
+        _concat_run_rows,
+        _is_run_overlap,
+    )
+
+    def run_row(salt, fd, ld):
+        return dict(
+            salt=salt, df=1, cf=1, doc_bytes=b"a", tf_bytes=b"b",
+            dl_bytes=b"c", first_doc=[fd], last_doc=[ld], n=[1],
+            doc_off=[0], tf_off=[0], dl_off=[0], max_impact=[1.0],
+        )
+
+    ok = _concat_run_rows(
+        pd.DataFrame([run_row(0, 6, 9), run_row(0, 1, 5), run_row(1, 10, 20)])
+    )
+    assert ok["df"] == 3 and ok["first_doc"] == [1, 6, 10]
+    with pytest.raises(ValueError) as ei:
+        _concat_run_rows(pd.DataFrame([run_row(0, 1, 7), run_row(0, 6, 9)]))
+    assert _is_run_overlap(ei.value)

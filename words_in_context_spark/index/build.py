@@ -29,6 +29,26 @@ therefore concatenates encoded runs WITHOUT decoding: block-local deltas make
 every block self-contained; only block byte-offsets are rebased. A "the"-type
 term at web scale costs S bounded encode tasks + one cheap byte-concat task.
 
+encode_mode="mapside" (opt-in, $WICS_ENCODE_MODE — MEASURED AND NOT THE
+DEFAULT: on this corpus it loses ~1.7× end-to-end; see the round-6 section
+of BENCH/BASELINE.md for the A/B and the group-count-explosion root cause.
+Kept because the tradeoff is corpus- and fabric-dependent — it removes the
+posting-grain shuffle entirely, which a real multi-node network may value
+more than loopback netty does): SHUFFLE 1 disappears.
+The DOCS are hash-partitioned on their range salt before tokenize (a
+shuffle of one row per document instead of one per posting — ~2 orders of
+magnitude fewer rows), the forward checkpoint is written doc_id-sorted
+within partitions, and the encoder runs as mapInPandas directly over the
+forward SCAN: each read split groups its rows by (term_id, salt) in numpy
+and emits finished runs. Only compressed runs ever shuffle (the cogroup
+with the vocabulary dim). Correctness rests on run-range disjointness:
+partition purity at salt granularity plus within-file doc order means any
+read split yields doc-contiguous runs; the merge orders runs by
+(salt, first_doc) and verifies disjointness, falling back to the
+string-keyed global re-group on violation (e.g. a legacy unsorted
+checkpoint). Run cuts land on salt boundaries or inside one salt, so the
+block/salt alignment query_topk's range slicing needs is preserved.
+
 doc_id = xxhash64(url): deterministic, shuffle-free assignment. (At 10^12
 docs, expect ~3e4 birthday collisions across 2^64 — acceptable for ranking;
 a dense-id mode would add a sort. Colliding urls are AGGREGATED per posting
@@ -206,10 +226,86 @@ def _encode_rows(avgdl: float):
     return fn
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
+def _encode_mapside(avgdl: float, n_salts: int):
+    """mapInPandas encoder over FORWARD-SCAN partitions — the mapside mode's
+    replacement for the posting shuffle + collect_list aggregate: each read
+    split groups its own rows by (term_id, salt) with one numpy lexsort and
+    emits finished runs, so the only thing that ever shuffles is compressed
+    run blobs (the cogroup with the vocabulary dim). Valid because mapside
+    forwards are written salt-partitioned and doc_id-sorted (module
+    docstring): every (term_id, salt) group here is a doc-contiguous range
+    slice, disjoint from the same key's runs in other splits — verified at
+    merge by _concat_run_rows. Memory is bounded by the parquet split size
+    (spark.sql.files.maxPartitionBytes), same order as the grouped path's
+    per-(term, salt) aggregation buffers."""
+    boundaries = _salt_boundaries(n_salts)
+
+    def fn(it):
+        frames = list(it)
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        tid = pdf["term_id"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["doc_len"].to_numpy()
+        salts = np.searchsorted(boundaries, ids, side="right").astype(
+            np.int32
+        )  # == range_salt(doc_id, n_salts), numpy twin
+        order = np.lexsort((ids, salts, tid))
+        tid, ids, tfs, dls, salts = (
+            tid[order], ids[order], tfs[order], dls[order], salts[order]
+        )
+        change = (
+            np.flatnonzero(
+                (tid[1:] != tid[:-1]) | (salts[1:] != salts[:-1])
+            )
+            + 1
+        )
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [tid.size]))
+        out = []
+        for s, e in zip(starts, ends):
+            enc = _encode_unsorted(ids[s:e], tfs[s:e], dls[s:e], avgdl)
+            out.append(
+                _enc_to_run_row(
+                    "term_id", int(tid[s]), int(salts[s]), enc
+                )
+            )
+            if len(out) >= 4096:
+                yield pd.DataFrame(out, columns=_RUN_COLS_ID)
+                out = []
+        if out:
+            yield pd.DataFrame(out, columns=_RUN_COLS_ID)
+
+    return fn
+
+
 def _concat_run_rows(pdf: pd.DataFrame) -> dict:
     """Byte-concatenate a term's encoded salt runs (disjoint, ordered doc-id
-    ranges — see module docstring) without decoding; block offsets rebased."""
-    pdf = pdf.sort_values("salt")  # ranges are disjoint & ordered by salt
+    ranges — see module docstring) without decoding; block offsets rebased.
+
+    Runs order by (salt, first doc): the grouped path emits one run per
+    salt (first_doc is a no-op tie-break), the mapside path can emit
+    several doc-contiguous runs inside one salt (one per read split).
+    Disjointness is VERIFIED, not assumed — an overlap (legacy unsorted
+    forward, colliding doc_ids straddling a split) raises a marker error
+    the driver converts into the always-correct string-keyed rebuild."""
+    pdf = pdf.assign(
+        _fd=pdf["first_doc"].map(lambda a: int(a[0]))
+    ).sort_values(["salt", "_fd"])
+    prev_last = None
+    for fd, row_last in zip(pdf["_fd"], pdf["last_doc"]):
+        if prev_last is not None and fd <= prev_last:
+            raise ValueError(
+                f"encoded runs overlap: first_doc {fd} <= prior "
+                f"last_doc {prev_last}"
+            )
+        prev_last = int(row_last[-1])
     doc_bytes = b"".join(pdf["doc_bytes"])
     tf_bytes = b"".join(pdf["tf_bytes"])
     dl_bytes = b"".join(pdf["dl_bytes"])
@@ -274,6 +370,12 @@ def _is_term_id_collision(exc: BaseException) -> bool:
     string is pinned by tests/test_index_build.py so a Spark upgrade that
     truncates error text is caught as a test failure, not silent dead code."""
     return "term_id collision" in str(exc)
+
+
+def _is_run_overlap(exc: BaseException) -> bool:
+    """True iff a failed merge carries ``_concat_run_rows``'s run-overlap
+    marker (same JVM-boundary substring matching as the collision marker)."""
+    return "encoded runs overlap" in str(exc)
 
 
 def _merge_runs_dim():
@@ -402,6 +504,7 @@ def build_index(
     with_positions: bool = False,
     lemmatizer=None,
     avgdl_override: float | None = None,
+    encode_mode: str | None = None,
 ) -> BuildResult:
     """Build (or resume) the inverted index for ``docs`` at ``index_dir``.
 
@@ -414,6 +517,13 @@ def build_index(
     (doc_id, term, line_ids sorted-with-duplicates) — the exact analog of the
     reference's ``wsid`` posting lists (extract_words.py:195-196,222-228),
     bucketed like the segments for pruned occurrence lookups.
+
+    ``encode_mode`` (default $WICS_ENCODE_MODE or "grouped"): "grouped" is
+    the collect_list-shuffle encode path; "mapside" encodes runs inside the
+    forward scan and shuffles only compressed blobs (module docstring).
+    Mapside engages on fresh tokenize builds and on resumes over a
+    mapside-written forward (the checkpoint carries a layout marker);
+    anywhere its preconditions don't hold it silently uses grouped.
     """
     if overwrite:
         mf.clear(index_dir)
@@ -449,15 +559,34 @@ def build_index(
     # pure forward resume must not touch (or even plan over) the docs
     # input.
     par = spark.sparkContext.defaultParallelism
-    will_tokenize = not _exists(os.path.join(index_dir, "forward")) or (
+    fresh_forward = not _exists(os.path.join(index_dir, "forward"))
+    will_tokenize = fresh_forward or (
         with_positions and not _exists(mf.data_dir(index_dir, "positions"))
     )
-    if will_tokenize and docs.rdd.getNumPartitions() < par:
+    encode_mode = encode_mode or os.environ.get(
+        "WICS_ENCODE_MODE", "grouped"
+    )
+    if encode_mode == "mapside" and fresh_forward and tokens is None:
+        # mapside precondition: forward partitions must be PURE at salt
+        # granularity (every salt's docs in exactly one partition). Key the
+        # docs shuffle on a FINER nested power-of-two salt so ~4 ranges land
+        # per partition (balance without a sampling pass — doc_id is a
+        # uniform hash); partition purity at the fine granularity implies it
+        # at the build's coarse n_salts. This replaces the parallelism
+        # repartition below: one row per DOCUMENT shuffles, never one per
+        # posting.
+        p_out = max(2 * par, docs.rdd.getNumPartitions())
+        docs = docs.repartition(
+            p_out,
+            range_salt(F.xxhash64(F.col("url")), _next_pow2(4 * p_out)),
+        )
+    elif will_tokenize and docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(2 * par)
     try:
         return _build_index_inner(
             spark, docs, index_dir, n_buckets, n_salts,
             tokens, with_positions, lemmatizer, avgdl_override,
+            encode_mode=encode_mode,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
@@ -476,6 +605,7 @@ def _build_index_inner(
     with_positions: bool,
     lemmatizer,
     avgdl_override: float | None = None,
+    encode_mode: str = "grouped",
 ) -> BuildResult:
 
     tok_name = "wics-v1" if lemmatizer is None else (
@@ -532,6 +662,12 @@ def _build_index_inner(
         # string column entirely (8 fixed bytes on disk buy a string-free
         # hot-path scan; computed JVM-side during this write pass)
         fwd = fwd.withColumn("doc_id", F.xxhash64(F.col("url")))
+        if encode_mode == "mapside" and tokens is None:
+            # mapside layout: docs arrived salt-partitioned (build_index);
+            # a within-partition doc_id sort (no shuffle) makes any future
+            # parquet READ SPLIT of these files doc-contiguous, so mapside
+            # runs stay disjoint even when a file splits across tasks
+            fwd = fwd.sortWithinPartitions("doc_id")
         # N and avgdl observed DURING the forward write — from here the
         # segments job has everything it needs, so doc_map drops off the
         # build's critical path entirely (written concurrently below)
@@ -548,6 +684,11 @@ def _build_index_inner(
         t_fwd = time.time()
         fwd.write.mode("overwrite").parquet(forward_path)
         phases["forward_s"] = round(time.time() - t_fwd, 2)
+        if encode_mode == "mapside" and tokens is None:
+            # layout marker: a resume may only take the mapside encode path
+            # over a forward that really is salt-partitioned + doc-sorted
+            with open(os.path.join(forward_path, "_MAPSIDE"), "w") as fh:
+                fh.write('{"layout": "range_salt+doc_id_sorted"}')
         got = obs.get
         n_docs = int(got["n_docs"])
         avgdl = float(got["len_sum"]) / max(n_docs, 1)
@@ -661,21 +802,41 @@ def _build_index_inner(
                 .parquet(os.path.join(index_dir, "segments"))
             )
 
-        def _encode_merge_by_term_id() -> DataFrame:
-            # HOT PATH: every shuffled/Arrow column fixed-width — encode
-            # shuffle carries (term_id, doc_id, tf, doc_len, salt) only;
-            # bucket and the term string are NOT shuffled per posting. The
+        def _vocab_dim() -> DataFrame:
             # vocabulary dim (term, bucket, term_id — one row per distinct
-            # in-scope term) rides the merge cogroup's existing shuffle and
-            # is computed INSIDE this same job, so its scan pipelines with
-            # the encode map instead of costing a separate driver-blocking
-            # guard job per build.
-            dim = (
+            # in-scope term): computed INSIDE the segments job so its scan
+            # pipelines with the encode map; rides the merge cogroup's
+            # existing shuffle (no per-posting term strings anywhere)
+            return (
                 base.select("term")
                 .distinct()
                 .withColumn("bucket", bucket_expr(F.col("term"), n_buckets))
                 .withColumn("term_id", _term_id_expr(F.col("term")))
             )
+
+        def _encode_merge_mapside() -> DataFrame:
+            # mapside: runs come straight out of the forward scan (module
+            # docstring) — no posting-grain shuffle exists in this plan at
+            # all; the groupBy below shuffles compressed run blobs only
+            src = base.select(
+                _term_id_expr(F.col("term")).alias("term_id"),
+                "doc_id", "tf", "doc_len",
+            )
+            runs = src.mapInPandas(
+                _encode_mapside(avgdl, n_salts), schema=_RUN_SCHEMA_ID
+            )
+            return (
+                runs.groupBy("term_id")
+                .cogroup(_vocab_dim().groupBy("term_id"))
+                .applyInPandas(_merge_runs_dim(), schema=SEGMENT_SCHEMA)
+            )
+
+        def _encode_merge_by_term_id() -> DataFrame:
+            # HOT PATH (grouped): every shuffled/Arrow column fixed-width —
+            # encode shuffle carries (term_id, doc_id, tf, doc_len, salt)
+            # only; bucket and the term string are NOT shuffled per posting
+            # (the vocabulary dim re-attaches them at merge).
+            dim = _vocab_dim()
             postings_in = base.select(
                 _term_id_expr(F.col("term")).alias("term_id"),
                 "doc_id", "tf", "doc_len",
@@ -726,12 +887,38 @@ def _build_index_inner(
                 _merge_runs(n_buckets), schema=SEGMENT_SCHEMA
             )
 
+        use_mapside = encode_mode == "mapside" and os.path.exists(
+            os.path.join(forward_path, "_MAPSIDE")
+        )
         t_seg = time.time()
         try:
             try:
-                _write_segments(_encode_merge_by_term_id())
+                if use_mapside:
+                    # bigger Arrow batches for the scan→encoder hand-off:
+                    # the encoder concatenates its split's batches anyway,
+                    # and the 512 default (tuned for tokenize) would hand it
+                    # thousands of tiny frames. Restored below.
+                    prev_arrow = spark.conf.get(
+                        "spark.sql.execution.arrow.maxRecordsPerBatch"
+                    )
+                    spark.conf.set(
+                        "spark.sql.execution.arrow.maxRecordsPerBatch",
+                        "65536",
+                    )
+                    try:
+                        _write_segments(_encode_merge_mapside())
+                    finally:
+                        spark.conf.set(
+                            "spark.sql.execution.arrow.maxRecordsPerBatch",
+                            prev_arrow,
+                        )
+                else:
+                    _write_segments(_encode_merge_by_term_id())
             except Exception as e:  # noqa: BLE001 — marker-matched else raise
-                if not _is_term_id_collision(e):
+                if not (
+                    _is_term_id_collision(e)
+                    or (use_mapside and _is_run_overlap(e))
+                ):
                     raise
                 _write_segments(_encode_merge_by_term())
         except BaseException:
