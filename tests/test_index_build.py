@@ -733,9 +733,9 @@ def test_mapside_resume_converges(
     calls = []
     real = b._encode_mapside
 
-    def spy(avgdl, n_salts):
+    def spy(avgdl, n_salts, fine_salts=None):
         calls.append(True)
-        return real(avgdl, n_salts)
+        return real(avgdl, n_salts, fine_salts)
 
     monkeypatch.setattr(b, "_encode_mapside", spy)
     crashed = str(tmp_path_factory.mktemp("mapside_resume") / "idx")
@@ -767,9 +767,9 @@ def test_mapside_over_grouped_forward_falls_back(
     calls = []
     real = b._encode_mapside
 
-    def spy(avgdl, n_salts):
+    def spy(avgdl, n_salts, fine_salts=None):
         calls.append(True)
-        return real(avgdl, n_salts)
+        return real(avgdl, n_salts, fine_salts)
 
     monkeypatch.setattr(b, "_encode_mapside", spy)
     crashed = str(tmp_path_factory.mktemp("grouped_fwd") / "idx")
@@ -812,3 +812,63 @@ def test_concat_run_rows_overlap_guard():
     with pytest.raises(ValueError) as ei:
         _concat_run_rows(pd.DataFrame([run_row(0, 1, 7), run_row(0, 6, 9)]))
     assert _is_run_overlap(ei.value)
+
+
+def test_fresh_build_from_tokens_df(spark, docs_df, index_dir,
+                                    tmp_path_factory):
+    """A fresh build_index(..., tokens=...) must survive the explicit
+    fresh-forward read schema ('tf int, doc_len int'): the tokens branch
+    aggregates tf via count(*) and doc_len via a window sum — both INT64 —
+    and without the int casts the vectorized parquet reader throws
+    'Parquet column cannot be converted' at the segments scan (round-6
+    advice #2). Decoded index must equal a tokenize_tf build."""
+    from words_in_context_spark.operators.extract import tokenize
+
+    d = str(tmp_path_factory.mktemp("tokens_fresh") / "idx")
+    res = build_index(
+        spark, docs_df, d, n_buckets=N_BUCKETS, n_salts=4,
+        tokens=tokenize(docs_df),
+    )
+    assert res.n_docs == N_DOCS
+    assert _decoded_segments(spark, d) == _decoded_segments(spark, index_dir)
+
+
+def test_mapside_multipartition_no_fallback(spark, docs_df, index_dir,
+                                            tmp_path_factory, monkeypatch):
+    """Mapside over a MULTI-partition corpus must complete on the hot path.
+
+    With run cuts at coarse n_salts granularity this degenerates: the docs
+    repartition hashes FINE salts across partitions, so a partition holding
+    two non-adjacent fine ranges of one coarse salt emits a run spanning a
+    gap owned by another partition — the merge overlap guard then fires and
+    the whole segments job silently rebuilds string-keyed (round-6 advice
+    #1). Cutting at the fine boundaries recorded in the _MAPSIDE marker
+    makes runs disjoint by construction: assert the fallback path never
+    runs AND the decoded index matches the grouped build."""
+    from words_in_context_spark.index import build as b
+
+    fallback_calls = []
+    real_encode_run = b._encode_run
+
+    def spy(avgdl, key="term"):
+        fallback_calls.append(key)
+        return real_encode_run(avgdl, key)
+
+    monkeypatch.setattr(b, "_encode_run", spy)
+    d = str(tmp_path_factory.mktemp("mapside_multi") / "idx")
+    res = build_index(
+        spark, docs_df.repartition(8), d, n_buckets=N_BUCKETS, n_salts=2,
+        encode_mode="mapside",
+    )
+    assert res.n_docs == N_DOCS
+    assert not fallback_calls, (
+        "mapside degenerated to the string-keyed fallback on a "
+        "multi-partition corpus"
+    )
+    import json
+
+    marker = json.load(open(os.path.join(d, "forward", "_MAPSIDE")))
+    assert marker["fine_salts"] >= 2
+    grouped = str(tmp_path_factory.mktemp("mapside_multi") / "idx_grouped")
+    build_index(spark, docs_df, grouped, n_buckets=N_BUCKETS, n_salts=2)
+    assert _decoded_segments(spark, d) == _decoded_segments(spark, grouped)

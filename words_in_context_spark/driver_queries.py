@@ -70,6 +70,15 @@ def _tf_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Generate by Catalyst and re-evaluates size(filter(split(text))) per
     TOKEN row — O(doc_len²) per document (measured 6× slower at sf0.1)."""
     docs = _read(spark, sf_dir, "documents")
+    # The documents table is small on disk (parquet splits ≈ size/4MB), so
+    # the tokenize+aggregate stage would otherwise run on 1-2 scan tasks and
+    # leave the rest of the cluster idle (measured at sf1.0: 2 input splits,
+    # 8.6 s forward build → 2.5 s after widening). Same rule as
+    # index/build.py's tokenize widening: only when the scan can't feed every
+    # slot — at web scale input splits outnumber slots and this no-ops.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(2 * par)
     arr = F.filter(
         F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != ""
     )
@@ -211,23 +220,27 @@ def q_tfidf_topk(spark, sf_dir):
 def q_bm25_topk(spark, sf_dir):
     """M3 scorer (brute-force path): BM25 retrieval of the top-20 documents
     for a fixed 3-term query; idf = ln(1+(N-df+0.5)/(df+0.5)). tf/doc_len are
-    served from the materialized forward index (see _forward)."""
+    served from the materialized forward index (see _forward).
+
+    r7 shape (guide §2.4, §6): avgdl = sum(tf)/countDistinct(doc_id) — a
+    single map-side-partial aggregate instead of a full shuffle of the
+    forward table by doc_id (per-doc doc_len sums to sum(tf), and both
+    divisions are exact-integer-to-double so the value is bit-identical to
+    avg(doc_len), asserted in tests). The query-term selection is a pushed
+    ``term IN (...)`` scan predicate instead of a broadcast join, and df is
+    aggregated over the selected terms only (df per term is unchanged by
+    dropping other terms). Measured at sf1.0: 4.2 s → 1.7 s first run."""
     docs = _read(spark, sf_dir, "documents")
     n_docs = docs.count()
     tf = _forward(spark, sf_dir)
-    avgdl = (
-        tf.groupBy("doc_id")
-        .agg(F.first("doc_len").alias("doc_len"))
-        .agg(F.avg("doc_len"))
-        .collect()[0][0]
-    )
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qterms = spark.createDataFrame(
-        [(t,) for t in BM25_QUERY_TERMS], "term string"
-    )
+    tot_tf, n_fwd_docs = tf.agg(
+        F.sum("tf"), F.countDistinct(F.col("doc_id"))
+    ).collect()[0]
+    avgdl = float(tot_tf) / float(n_fwd_docs)
+    sel = tf.where(F.col("term").isin(*BM25_QUERY_TERMS))
+    dfq = sel.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfq), "term")
+        sel.join(F.broadcast(dfq), "term")
         .withColumn(
             "idf",
             F.log(
@@ -314,13 +327,22 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_revenue_by_nation(spark, sf_dir):
-    """J1 analog: fact ⋈ broadcast dims (customer→nation), grouped revenue."""
+    """J1 analog: fact ⋈ dims (customer→nation), grouped revenue.
+
+    The lineitem ⋈ orders join is hinted shuffle-hash (guide §3.1): the
+    planner's alternative here is broadcasting orders, and building +
+    shipping a millions-of-rows hash relation through the driver is the
+    measured bottleneck (sf1.0: 2.0 s → 1.05 s with the hint). At cluster
+    scale orders cannot be broadcast at all, and both sides shuffled by the
+    unique o_orderkey give uniform partitions for the hash build (skew-free
+    by construction; AQE skew-join splitting stays on). customer/nation
+    remain true broadcast dims."""
     li = _read(spark, sf_dir, "lineitem")
     o = _read(spark, sf_dir, "orders")
     c = _read(spark, sf_dir, "customer")
     n = _read(spark, sf_dir, "nation")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
@@ -355,38 +377,67 @@ def q_customers_with_open_orders(spark, sf_dir):
 
 
 def q_top_orders_per_customer(spark, sf_dir):
-    """Q5 window top-k on discrete tie-break."""
+    """Q5 top-k per customer on discrete tie-break.
+
+    r7 shape (guide §2.4): aggregate-sort-slice instead of a row_number
+    window — collect the (rounded price, orderkey) pairs per customer, sort
+    the ~10-element arrays, keep 3, posexplode. The window plan pays two full
+    sorts of the orders table (map-side for WindowGroupLimit, reduce-side for
+    the window) for the same shuffle volume; sorting per-customer arrays is
+    O(n) total. Identical rows: struct order (-price, orderkey) == (price
+    DESC, orderkey ASC), negation of rounded positive doubles is exact, and
+    rank = array position. Measured at sf1.0: 1.6 s → 1.1 s."""
     o = _read(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc(F.round("o_totalprice", 2)), F.asc("o_orderkey")
+    pre = o.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("tp")
     )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
-            "rn",
-        )
+    g = pre.groupBy("o_custkey").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("tp")).alias("ntp"),
+                        F.col("o_orderkey").alias("ok"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return g.select(
+        "o_custkey", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "o_custkey",
+        F.col("s.ok").alias("o_orderkey"),
+        (-F.col("s.ntp")).alias("totalprice"),
+        (F.col("pos") + 1).alias("rn"),
     )
 
 
 def q_events_hourly(spark, sf_dir):
     """ST analog, batch form: tumbling 1-hour event-time aggregation (the
-    streaming path runs the same agg with a watermark — streaming/)."""
+    streaming path runs the same agg with a watermark — streaming/).
+
+    Grouped on the NATIVE truncated timestamp (8 bytes, guide §2.3) and
+    formatted to the output string once per result row — the previous
+    string group key paid date_format per INPUT row and shuffled 19-char
+    keys (sf1.0: 2.3 s → 1.5 s). Formatting a truncated UTC timestamp is
+    injective, so the groups are identical."""
     e = _read(spark, sf_dir, "events")
     return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour"
-            ),
-            "event_type",
-        )
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
         )
     )
 

@@ -42,12 +42,18 @@ within partitions, and the encoder runs as mapInPandas directly over the
 forward SCAN: each read split groups its rows by (term_id, salt) in numpy
 and emits finished runs. Only compressed runs ever shuffle (the cogroup
 with the vocabulary dim). Correctness rests on run-range disjointness:
-partition purity at salt granularity plus within-file doc order means any
-read split yields doc-contiguous runs; the merge orders runs by
-(salt, first_doc) and verifies disjointness, falling back to the
-string-keyed global re-group on violation (e.g. a legacy unsorted
-checkpoint). Run cuts land on salt boundaries or inside one salt, so the
-block/salt alignment query_topk's range slicing needs is preserved.
+partition purity holds at the FINE salt granularity the docs repartition
+keyed on (hash partitioning scatters the fine ranges of a coarse salt
+across partitions, so purity does NOT lift to coarse n_salts — the encoder
+therefore cuts runs at the fine boundaries recorded in the _MAPSIDE marker
+and labels them with the enclosing coarse salt); fine-range-per-partition
+plus within-file doc order means any read split yields doc-contiguous,
+split-disjoint runs; the merge orders runs by (salt, first_doc) and
+verifies disjointness, falling back to the string-keyed global re-group on
+violation (e.g. a legacy unsorted checkpoint). Fine ranges nest inside
+coarse ranges, so run cuts land on coarse-salt boundaries or inside one
+salt — the block/salt alignment query_topk's range slicing needs is
+preserved.
 
 doc_id = xxhash64(url): deterministic, shuffle-free assignment. (At 10^12
 docs, expect ~3e4 birthday collisions across 2^64 — acceptable for ranking;
@@ -230,19 +236,33 @@ def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 1).bit_length()
 
 
-def _encode_mapside(avgdl: float, n_salts: int):
+def _encode_mapside(avgdl: float, n_salts: int, fine_salts: int | None = None):
     """mapInPandas encoder over FORWARD-SCAN partitions — the mapside mode's
     replacement for the posting shuffle + collect_list aggregate: each read
-    split groups its own rows by (term_id, salt) with one numpy lexsort and
-    emits finished runs, so the only thing that ever shuffles is compressed
-    run blobs (the cogroup with the vocabulary dim). Valid because mapside
-    forwards are written salt-partitioned and doc_id-sorted (module
-    docstring): every (term_id, salt) group here is a doc-contiguous range
-    slice, disjoint from the same key's runs in other splits — verified at
-    merge by _concat_run_rows. Memory is bounded by the parquet split size
-    (spark.sql.files.maxPartitionBytes), same order as the grouped path's
-    per-(term, salt) aggregation buffers."""
-    boundaries = _salt_boundaries(n_salts)
+    split groups its own rows by (term_id, FINE salt) with one numpy lexsort
+    and emits finished runs labeled with the COARSE salt, so the only thing
+    that ever shuffles is compressed run blobs (the cogroup with the
+    vocabulary dim).
+
+    Groups are cut at the FINE salt boundaries the docs repartition used
+    (recorded in the forward's _MAPSIDE marker), not at the coarse n_salts:
+    hash-repartitioning by fine salt puts each fine range wholly inside ONE
+    partition file, but scatters the several fine ranges of one coarse salt
+    across partitions — a split grouped at coarse granularity could emit a
+    run spanning a gap owned by another partition, tripping the merge's
+    overlap guard and silently demoting every multi-partition build to the
+    string-keyed fallback (round-6 advice #1). A fine range lives in one
+    doc-sorted file, so fine-cut runs are doc-contiguous and disjoint across
+    splits by construction; fine ranges nest inside coarse ranges (both
+    powers of two, fine >= coarse), so no run straddles a coarse-salt
+    boundary and query_topk's range slicing invariant is preserved.
+    Disjointness is still VERIFIED at merge by _concat_run_rows. Memory is
+    bounded by the parquet split size (spark.sql.files.maxPartitionBytes),
+    same order as the grouped path's per-(term, salt) aggregation buffers."""
+    if fine_salts is None or fine_salts < n_salts:
+        fine_salts = n_salts
+    boundaries = _salt_boundaries(fine_salts)
+    coarse_boundaries = _salt_boundaries(n_salts)
 
     def fn(it):
         frames = list(it)
@@ -253,16 +273,16 @@ def _encode_mapside(avgdl: float, n_salts: int):
         ids = pdf["doc_id"].to_numpy()
         tfs = pdf["tf"].to_numpy()
         dls = pdf["doc_len"].to_numpy()
-        salts = np.searchsorted(boundaries, ids, side="right").astype(
+        fsalts = np.searchsorted(boundaries, ids, side="right").astype(
             np.int32
-        )  # == range_salt(doc_id, n_salts), numpy twin
-        order = np.lexsort((ids, salts, tid))
-        tid, ids, tfs, dls, salts = (
-            tid[order], ids[order], tfs[order], dls[order], salts[order]
+        )  # == range_salt(doc_id, fine_salts), numpy twin
+        order = np.lexsort((ids, fsalts, tid))
+        tid, ids, tfs, dls, fsalts = (
+            tid[order], ids[order], tfs[order], dls[order], fsalts[order]
         )
         change = (
             np.flatnonzero(
-                (tid[1:] != tid[:-1]) | (salts[1:] != salts[:-1])
+                (tid[1:] != tid[:-1]) | (fsalts[1:] != fsalts[:-1])
             )
             + 1
         )
@@ -271,10 +291,11 @@ def _encode_mapside(avgdl: float, n_salts: int):
         out = []
         for s, e in zip(starts, ends):
             enc = _encode_unsorted(ids[s:e], tfs[s:e], dls[s:e], avgdl)
+            salt = int(
+                np.searchsorted(coarse_boundaries, ids[s], side="right")
+            )  # coarse label: the fine range nests inside this coarse range
             out.append(
-                _enc_to_run_row(
-                    "term_id", int(tid[s]), int(salts[s]), enc
-                )
+                _enc_to_run_row("term_id", int(tid[s]), salt, enc)
             )
             if len(out) >= 4096:
                 yield pd.DataFrame(out, columns=_RUN_COLS_ID)
@@ -566,19 +587,24 @@ def build_index(
     encode_mode = encode_mode or os.environ.get(
         "WICS_ENCODE_MODE", "grouped"
     )
+    mapside_fine_salts: int | None = None
     if encode_mode == "mapside" and fresh_forward and tokens is None:
-        # mapside precondition: forward partitions must be PURE at salt
-        # granularity (every salt's docs in exactly one partition). Key the
-        # docs shuffle on a FINER nested power-of-two salt so ~4 ranges land
-        # per partition (balance without a sampling pass — doc_id is a
-        # uniform hash); partition purity at the fine granularity implies it
-        # at the build's coarse n_salts. This replaces the parallelism
-        # repartition below: one row per DOCUMENT shuffles, never one per
-        # posting.
+        # mapside precondition: forward partitions must be PURE at the
+        # granularity the encoder groups at. Key the docs shuffle on a FINER
+        # nested power-of-two salt so ~4 ranges land per partition (balance
+        # without a sampling pass — doc_id is a uniform hash). NOTE: purity
+        # holds only at this FINE granularity — hash repartitioning scatters
+        # the fine ranges of one coarse salt across partitions, so the
+        # encoder must also CUT its runs at these fine boundaries (the count
+        # is recorded in the _MAPSIDE marker; round-6 advice #1). Coarse
+        # n_salts stays the run LABEL/merge-order key. This replaces the
+        # parallelism repartition below: one row per DOCUMENT shuffles,
+        # never one per posting.
         p_out = max(2 * par, docs.rdd.getNumPartitions())
+        mapside_fine_salts = max(_next_pow2(4 * p_out), n_salts)
         docs = docs.repartition(
             p_out,
-            range_salt(F.xxhash64(F.col("url")), _next_pow2(4 * p_out)),
+            range_salt(F.xxhash64(F.col("url")), mapside_fine_salts),
         )
     elif will_tokenize and docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(2 * par)
@@ -587,6 +613,7 @@ def build_index(
             spark, docs, index_dir, n_buckets, n_salts,
             tokens, with_positions, lemmatizer, avgdl_override,
             encode_mode=encode_mode,
+            mapside_fine_salts=mapside_fine_salts,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
@@ -606,6 +633,7 @@ def _build_index_inner(
     lemmatizer,
     avgdl_override: float | None = None,
     encode_mode: str = "grouped",
+    mapside_fine_salts: int | None = None,
 ) -> BuildResult:
 
     tok_name = "wics-v1" if lemmatizer is None else (
@@ -640,14 +668,19 @@ def _build_index_inner(
             # orchestration floor, paid at every parallelism level
             fwd = tokenize_tf(docs, lemmatizer=lemmatizer, doc_markers=True)
         else:
+            # int casts: the fresh-forward re-read below uses an explicit
+            # 'tf int, doc_len int' schema (matching tokenize_tf's Arrow
+            # output); count(*)/window-sum are INT64 and parquet's vectorized
+            # reader refuses INT64→int32, so a fresh tokens= build would
+            # crash at the segments scan without them (round-6 advice #2)
             base_fwd = (
                 tokens.groupBy("url", "term")
-                .agg(F.count("*").alias("tf"))
+                .agg(F.count("*").cast("int").alias("tf"))
                 .withColumn(
                     "doc_len",
                     F.sum("tf").over(
                         __import__("pyspark").sql.Window.partitionBy("url")
-                    ),
+                    ).cast("int"),
                 )
                 .select("url", "term", "tf", "doc_len")
             )
@@ -686,9 +719,16 @@ def _build_index_inner(
         phases["forward_s"] = round(time.time() - t_fwd, 2)
         if encode_mode == "mapside" and tokens is None:
             # layout marker: a resume may only take the mapside encode path
-            # over a forward that really is salt-partitioned + doc-sorted
+            # over a forward that really is salt-partitioned + doc-sorted;
+            # fine_salts records the repartition granularity the encoder
+            # must cut runs at (partition purity holds at FINE, not coarse)
+            import json as _json
+
             with open(os.path.join(forward_path, "_MAPSIDE"), "w") as fh:
-                fh.write('{"layout": "range_salt+doc_id_sorted"}')
+                fh.write(_json.dumps({
+                    "layout": "range_salt+doc_id_sorted",
+                    "fine_salts": int(mapside_fine_salts or n_salts),
+                }))
         got = obs.get
         n_docs = int(got["n_docs"])
         avgdl = float(got["len_sum"]) / max(n_docs, 1)
@@ -817,13 +857,26 @@ def _build_index_inner(
         def _encode_merge_mapside() -> DataFrame:
             # mapside: runs come straight out of the forward scan (module
             # docstring) — no posting-grain shuffle exists in this plan at
-            # all; the groupBy below shuffles compressed run blobs only
+            # all; the groupBy below shuffles compressed run blobs only.
+            # Run-cut granularity comes from the forward's _MAPSIDE marker
+            # (the fine salt count its repartition used); a legacy marker
+            # without the key falls back to coarse cuts, where the merge's
+            # overlap guard still protects correctness.
+            import json as _json
+
+            try:
+                with open(os.path.join(forward_path, "_MAPSIDE")) as fh:
+                    fine = int(
+                        _json.load(fh).get("fine_salts", n_salts)
+                    )
+            except (OSError, ValueError):
+                fine = n_salts
             src = base.select(
                 _term_id_expr(F.col("term")).alias("term_id"),
                 "doc_id", "tf", "doc_len",
             )
             runs = src.mapInPandas(
-                _encode_mapside(avgdl, n_salts), schema=_RUN_SCHEMA_ID
+                _encode_mapside(avgdl, n_salts, fine), schema=_RUN_SCHEMA_ID
             )
             return (
                 runs.groupBy("term_id")
