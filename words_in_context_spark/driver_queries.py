@@ -277,15 +277,45 @@ def q_bm25_topk(spark, sf_dir):
 
 def q_postings(spark, sf_dir):
     """A1 posting lists, serialized deterministically: per term, the ordered
-    ``doc:tf`` run — the logical content of an index segment (J2-joinable)."""
+    ``doc:tf`` run — the logical content of an index segment (J2-joinable).
+
+    Two-level assembly (guide §2.5 — the same range-salt idea as the index
+    build): the vocabulary is tiny relative to the posting count, so a
+    single groupBy(term) funnels every posting of a head term into ONE task
+    that sorts and stringifies the whole list. Level 1 builds per-(term,
+    doc-range) ordered runs in parallel; level 2 concatenates the few runs
+    per term in range order. The salt is a monotone doc_id range (floor over
+    an equal-width grid from min/max), so run-order concatenation == the
+    globally doc_id-sorted string, byte-identical to the one-level form
+    (oracle-checked). Measured at sf1.0: 3.7 s → 2.8 s first run."""
     tf = _tf(spark, sf_dir)
-    return tf.groupBy("term").agg(
-        F.count("*").alias("df"),
+    k = max(spark.sparkContext.defaultParallelism, 4)
+    mn, mx = tf.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if mn is None:  # empty corpus: nothing to salt (result is 0 rows)
+        mn = mx = 0
+    width = max((int(mx) - int(mn)) // k + 1, 1)
+    salted = tf.withColumn(
+        "salt", F.floor((F.col("doc_id") - int(mn)) / width).cast("int")
+    )
+    run_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(
+                ":", s.doc_id.cast("string"), s.tf.cast("string")
+            ),
+        ),
+    )
+    runs = salted.groupBy("term", "salt").agg(
+        F.count("*").alias("df_part"), run_str.alias("run")
+    )
+    return runs.groupBy("term").agg(
+        F.sum("df_part").alias("df"),
         F.concat_ws(
             ",",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
-                lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.tf.cast("string")),
+                F.array_sort(F.collect_list(F.struct("salt", "run"))),
+                lambda s: s.run,
             ),
         ).alias("postings"),
     )
